@@ -1,0 +1,73 @@
+"""Label-driven einsum contraction.
+
+The reference engine (`/root/reference/tensor/node.py:28-74`) builds einsum
+strings at *runtime* from string dim-labels and contracts pairwise with
+priority ordering. Here the same label semantics are resolved at *trace time*:
+a contraction over an arbitrary set of operands becomes one `jnp.einsum` call
+whose path is found by opt_einsum, so XLA sees a static, fusable program and
+the pairwise-priority machinery is unnecessary.
+
+Axes are integer ids (assigned by `topology.Topology`); two operands sharing
+an axis id are connected on it. An id appearing in `keep` survives as a batch
+axis; ids absent from `keep` are summed. Hyperedges (one id on 3+ operands,
+e.g. the CPD rank axis) follow einsum semantics: multiplied elementwise across
+all carriers, then summed once — exactly the reference `CPDNetwork` behaviour
+(`/root/reference/tensor/network.py:955-974`).
+"""
+from __future__ import annotations
+
+import string
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_LETTERS = string.ascii_lowercase + string.ascii_uppercase
+
+Axes = Tuple[int, ...]
+
+
+class Labeler:
+    """Assigns einsum letters to axis ids, first-come first-served."""
+
+    def __init__(self):
+        self._map = {}
+
+    def __getitem__(self, axis_id) -> str:
+        if axis_id not in self._map:
+            if len(self._map) >= len(_LETTERS):
+                raise ValueError(
+                    f"einsum call needs more than {len(_LETTERS)} distinct axes"
+                )
+            self._map[axis_id] = _LETTERS[len(self._map)]
+        return self._map[axis_id]
+
+    def __contains__(self, axis_id) -> bool:
+        return axis_id in self._map
+
+
+def einsum_expr(operand_axes: Sequence[Axes], keep: Axes) -> str:
+    """Builds the einsum string for contracting operands down to `keep`."""
+    lab = Labeler()
+    terms = ["".join(lab[a] for a in axes) for axes in operand_axes]
+    out = "".join(lab[a] for a in keep)
+    return ",".join(terms) + "->" + out
+
+
+def contract(
+    operands: Sequence[Tuple[Axes, jax.Array]],
+    keep: Axes,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Contracts labelled operands into an array whose axes are `keep`, in order.
+
+    Every axis id not in `keep` is summed over; ids shared between operands are
+    matched (connected edges). Uses opt_einsum path search ("optimal" for small
+    operand counts, "auto" beyond) so chain/tree contraction order is optimal
+    without the reference's manual priority scheme.
+    """
+    expr = einsum_expr([axes for axes, _ in operands], keep)
+    arrays = [arr for _, arr in operands]
+    optimize = "optimal" if len(arrays) <= 6 else "auto"
+    return jnp.einsum(expr, *arrays, precision=precision, optimize=optimize)

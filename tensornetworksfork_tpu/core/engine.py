@@ -1,0 +1,271 @@
+"""Pure-functional tensor-network engine.
+
+Reimplements the reference `TensorNetwork` runtime
+(`/root/reference/tensor/network.py:14-377`) as pure functions over a static
+`Topology` + a params dict, so every piece can be `jax.jit`-ed:
+
+- `forward`            <-> TensorNetwork.forward (network.py:115-137)
+- `env_chain`          <-> compute_stacks       (network.py:55-76)
+- `jacobian`           <-> compute_jacobian_stack (network.py:101-113)
+- `gram_and_rhs`       <-> get_A_b              (network.py:174-217)
+- `gram_matvec_*`      <-> get_J / matvec       (network.py:219-291, 769-790)
+
+Design differences (TPU-first, not a translation):
+- environments are arrays carried *between* jitted calls, giving O(N) work
+  per half-sweep instead of the reference's per-batch full-stack recompute;
+- the Jacobian is never expanded over broadcast output dims
+  (reference expand_labels, network.py:183): output axes are contracted
+  directly inside the A/b einsums, which is algebraically identical and
+  cheaper;
+- diagonal Hessians are (B, C) arrays; full Hessians (B, C, C). Both are
+  handled natively by the einsum builder rather than materialised.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .contract import contract
+from .topology import CONST, INPUT, PARAM, Topology
+
+Operand = Tuple[Tuple[int, ...], jax.Array]
+
+
+def _prime(a):
+    return ("~", a)
+
+
+class Network:
+    """Binds a Topology to constant tensors and exposes pure compute fns.
+
+    All methods taking `params`/`inputs` are pure and jittable. `inputs` is a
+    dict {input_node_name: array}; use `bind_inputs` to normalise the
+    reference's flexible x conventions (single shared tensor or per-node list,
+    network.py:329-345).
+    """
+
+    def __init__(self, topology: Topology, consts: Optional[Dict[str, jax.Array]] = None,
+                 precision=jax.lax.Precision.HIGHEST):
+        self.topology = topology
+        self.consts = dict(consts or {})
+        for spec in topology.nodes:
+            if spec.kind == CONST and spec.name not in self.consts:
+                self.consts.update(topology.consts())
+                break
+        self.precision = precision
+        t = topology
+        self._col_axes = [
+            set().union(*(set(t.node_axes[ni]) for ni in col)) if col else set()
+            for col in t.columns
+        ]
+
+    # ------------------------------------------------------------------ inputs
+    def bind_inputs(self, x) -> Dict[str, jax.Array]:
+        t = self.topology
+        names = [t.nodes[ni].name for ni in t.input_nodes]
+        if isinstance(x, dict):
+            return x
+        if isinstance(x, (list, tuple)):
+            return dict(zip(names, x))
+        return {n: x for n in names}
+
+    # ---------------------------------------------------------------- operands
+    def operand(self, ni: int, params, inputs) -> Operand:
+        spec = self.topology.nodes[ni]
+        if spec.kind == PARAM:
+            arr = params[spec.name]
+        elif spec.kind == INPUT:
+            arr = inputs[spec.name]
+        else:
+            arr = self.consts[spec.name]
+        return (self.topology.node_axes[ni], arr)
+
+    def column_operands(self, ci: int, params, inputs, exclude: Sequence[int] = ()) -> List[Operand]:
+        return [
+            self.operand(ni, params, inputs)
+            for ni in self.topology.columns[ci]
+            if ni not in exclude
+        ]
+
+    # ------------------------------------------------------------------- keeps
+    def _keep_for_group(self, group_axes: set, outside_axes: set) -> Tuple[int, ...]:
+        t = self.topology
+        want = group_axes & (outside_axes | set(t.output_axes))
+        want.discard(t.sample_axis)
+        ordered = tuple(sorted(want))
+        if t.sample_axis in group_axes:
+            return (t.sample_axis,) + ordered
+        return ordered
+
+    def env_keep(self, cols: Sequence[int]) -> Tuple[int, ...]:
+        cols = set(cols)
+        group = set().union(*(self._col_axes[c] for c in cols)) if cols else set()
+        ncols = len(self.topology.columns)
+        outside_cols = [c for c in range(ncols) if c not in cols]
+        outside = set().union(*(self._col_axes[c] for c in outside_cols)) if outside_cols else set()
+        return self._keep_for_group(group, outside)
+
+    # ------------------------------------------------------------ environments
+    def env_step(self, prev: Optional[Operand], ci: int, params, inputs,
+                 cols_so_far: Sequence[int]) -> Operand:
+        """Contract column `ci` into the running environment (reference
+        compute_stacks inner loop, network.py:62-69)."""
+        ops = ([prev] if prev is not None else []) + self.column_operands(ci, params, inputs)
+        keep = self.env_keep(cols_so_far)
+        return (keep, contract(ops, keep, self.precision))
+
+    def env_chain(self, params, inputs, direction: str = "left") -> List[Optional[Operand]]:
+        """envs[c] = contraction of columns 0..c (left) or c..end (right)."""
+        ncols = len(self.topology.columns)
+        order = range(ncols) if direction == "left" else range(ncols - 1, -1, -1)
+        envs: List[Optional[Operand]] = [None] * ncols
+        prev = None
+        seen: List[int] = []
+        for ci in order:
+            seen.append(ci)
+            prev = self.env_step(prev, ci, params, inputs, seen)
+            envs[ci] = prev
+        return envs
+
+    # ---------------------------------------------------------------- forward
+    def output_keep(self) -> Tuple[int, ...]:
+        t = self.topology
+        keep = []
+        oi = 0
+        for ol in t.output_labels:
+            if ol == t.sample_dim:
+                keep.append(t.sample_axis)
+            else:
+                keep.append(t.output_axes[oi])
+                oi += 1
+        return tuple(keep)
+
+    def forward(self, params, x) -> jax.Array:
+        """Model output with axes ordered as output_labels (reference
+        TensorNetwork.forward, network.py:115-137)."""
+        inputs = self.bind_inputs(x)
+        ops = [self.operand(ni, params, inputs) for ni in range(len(self.topology.nodes))]
+        return contract(ops, self.output_keep(), self.precision)
+
+    # --------------------------------------------------------------- jacobian
+    def jacobian_operands(self, ni: int, params, inputs,
+                          left_env: Optional[Operand], right_env: Optional[Operand]) -> List[Operand]:
+        ci = self.topology.col_of[ni]
+        ops: List[Operand] = []
+        if left_env is not None:
+            ops.append(left_env)
+        ops += self.column_operands(ci, params, inputs, exclude=(ni,))
+        if right_env is not None:
+            ops.append(right_env)
+        return ops
+
+    def jacobian_keep(self, ni: int, operands: Sequence[Operand]) -> Tuple[int, ...]:
+        t = self.topology
+        present = set()
+        for axes, _ in operands:
+            present.update(axes)
+        want = present & (set(t.node_axes[ni]) | set(t.output_axes))
+        want.discard(t.sample_axis)
+        return (t.sample_axis,) + tuple(sorted(want))
+
+    def jacobian(self, ni: int, params, inputs, left_env, right_env) -> Operand:
+        """Environment of everything except node `ni`: the per-sample Jacobian
+        of the (multi-linear) output w.r.t. that node (reference
+        compute_jacobian_stack, network.py:101-113)."""
+        ops = self.jacobian_operands(ni, params, inputs, left_env, right_env)
+        keep = self.jacobian_keep(ni, ops)
+        return (keep, contract(ops, keep, self.precision))
+
+    def predict_from_jacobian(self, ni: int, J: Operand, core: jax.Array) -> jax.Array:
+        """out = J · core — exact because the network is multi-linear in each
+        node. Replaces the reference's separate full forward per batch
+        (network.py:456)."""
+        J_axes, J_arr = J
+        node_axes = self.topology.node_axes[ni]
+        return contract([(J_axes, J_arr), (node_axes, core)], self.output_keep(),
+                        self.precision)
+
+    # ------------------------------------------------------------------- A, b
+    def gram_and_rhs(self, ni: int, J: Operand, grad: jax.Array, hess: jax.Array):
+        """A = Jᴴ H J (Gram over node dims), b = Jᴴ g.
+
+        grad axes: (s, *output_axes); hess axes (s, *out, *out') for a full
+        Hessian or (s, *out) for a diagonal one. Output axes not owned by the
+        node are summed directly — equivalent to the reference's broadcast
+        expand_labels + einsum (network.py:183-215) but without materialising
+        the expanded Jacobian.
+        """
+        t = self.topology
+        J_axes, J_arr = J
+        node_axes = t.node_axes[ni]
+        out_axes = t.output_axes
+        s = t.sample_axis
+        Jc = J_arr.conj() if jnp.iscomplexobj(J_arr) else J_arr
+
+        present = set(J_axes) | set(out_axes) | {s}
+        missing = [a for a in node_axes if a not in present]
+        if missing:
+            raise ValueError(f"node axes {missing} appear in neither jacobian nor outputs")
+
+        g_axes = (s,) + out_axes
+        b = contract([(J_axes, Jc), (g_axes, grad)], node_axes, self.precision)
+
+        primed = {a: _prime(a) for a in set(node_axes) | set(out_axes)}
+        diag = hess.ndim == grad.ndim
+        if diag and any(a in out_axes for a in node_axes):
+            # A node-owned output axis makes the Gram block-diagonal in it;
+            # einsum can't emit a delta, so embed the diagonal explicitly
+            # (rare: diagonal Hessian + multi-class output on this node).
+            hess = _embed_diag(hess)
+            diag = False
+        if diag:
+            # H[s, c] couples only c==c': both Jacobian copies share the
+            # unprimed out axes; only node axes get primed on the second copy.
+            H_axes = (s,) + out_axes
+            J2_axes = tuple(
+                a if (a == s or a in out_axes) else primed[a] for a in J_axes
+            )
+        else:
+            H_axes = (s,) + out_axes + tuple(primed[a] for a in out_axes)
+            J2_axes = tuple(primed.get(a, a) if a != s else s for a in J_axes)
+        keep_A = node_axes + tuple(primed.get(a, a) for a in node_axes)
+        A = contract([(J_axes, Jc), (J2_axes, J_arr), (H_axes, hess)],
+                     keep_A, self.precision)
+        return A, b
+
+    # ------------------------------------------------------- matrix-free tier
+    def gram_matvec(self, ni: int, J: Operand, hess: jax.Array, grad_ndim: int,
+                    v: jax.Array) -> jax.Array:
+        """(Jᴴ H J) v without materialising A (reference get_J matvec recipe,
+        network.py:769-790). Two contractions: coeff = H (J v), Av = Jᴴ coeff."""
+        t = self.topology
+        J_axes, J_arr = J
+        node_axes = t.node_axes[ni]
+        out_axes = t.output_axes
+        s = t.sample_axis
+        diag = hess.ndim == grad_ndim
+        # coeff[s, *out'] = sum_node ( J v ) * H
+        coeff_keep = (s,) + out_axes
+        Jv = contract([(J_axes, J_arr), (node_axes, v)], coeff_keep, self.precision)
+        if diag:
+            coeff = hess * Jv
+        else:
+            H_axes = (s,) + tuple(_prime(a) for a in out_axes) + out_axes
+            coeff = contract([(H_axes, hess), ((s,) + tuple(_prime(a) for a in out_axes), Jv)],
+                             coeff_keep, self.precision)
+        Jc = J_arr.conj() if jnp.iscomplexobj(J_arr) else J_arr
+        return contract([(J_axes, Jc), (coeff_keep, coeff)], node_axes, self.precision)
+
+
+def _embed_diag(hess_diag: jax.Array) -> jax.Array:
+    """(B, *out) diagonal Hessian -> (B, *out, *out) full form."""
+    B = hess_diag.shape[0]
+    out_shape = hess_diag.shape[1:]
+    C = 1
+    for d in out_shape:
+        C *= d
+    flat = hess_diag.reshape(B, C)
+    full = jax.vmap(jnp.diag)(flat)
+    return full.reshape((B,) + out_shape + out_shape)

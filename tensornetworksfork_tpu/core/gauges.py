@@ -1,0 +1,93 @@
+"""QR/RQ gauge fixing for tensor trains.
+
+Reimplements the reference's node orthonormalization
+(`/root/reference/tensor/network.py:611-707`): factor a core with QR, keep the
+orthonormal factor, push the triangular factor into the neighbouring main
+node. The forward map is exactly invariant (tested in tests/test_gauges.py).
+
+The reference's right-orthonormalization uses a flip-trick RQ; here we use a
+plain QR of the bond-last matrix and push Rᵀ — an equivalent gauge (the gauge
+factor is only defined up to the pushed invertible matrix) with the same
+orthonormality property, chosen because it lowers to a single XLA QR kernel.
+
+Shape-preserving only: if the QR would shrink the bond (more bond columns than
+remaining rows) we skip the node, since XLA requires static shapes. The
+reference would silently change the node shape in that case.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from .engine import Network
+
+
+def _bond_axis(net: Network, ni: int, nj: int) -> tuple:
+    t = net.topology
+    shared = (set(t.node_axes[ni]) & set(t.node_axes[nj])) - {t.sample_axis}
+    if len(shared) != 1:
+        raise ValueError(
+            f"expected exactly one bond between {t.nodes[ni].name} and "
+            f"{t.nodes[nj].name}, got {len(shared)}")
+    a = shared.pop()
+    return t.node_axes[ni].index(a), t.node_axes[nj].index(a)
+
+
+def orthonormalize_left(net: Network, params: Dict, k: int) -> Dict:
+    """Left-orthonormalize main node k, pushing R into main node k+1
+    (reference node_orthonormalize_left, network.py:625-660)."""
+    t = net.topology
+    if k >= len(t.main_nodes) - 1:
+        return params
+    ni, nj = t.main_nodes[k], t.main_nodes[k + 1]
+    pi, pj = _bond_axis(net, ni, nj)
+    name_i, name_j = t.nodes[ni].name, t.nodes[nj].name
+    core = params[name_i]
+    moved = jnp.moveaxis(core, pi, -1)
+    rows = core.size // core.shape[pi]
+    if rows < core.shape[pi]:
+        return params  # would shrink the bond; skip (see module docstring)
+    mat = moved.reshape(rows, core.shape[pi])
+    Q, R = jnp.linalg.qr(mat, mode="reduced")
+    new_core = jnp.moveaxis(Q.reshape(moved.shape), -1, pi)
+    nxt = jnp.moveaxis(params[name_j], pj, 0)
+    new_nxt = jnp.moveaxis(jnp.tensordot(R, nxt, axes=[[1], [0]]), 0, pj)
+    return dict(params, **{name_i: new_core, name_j: new_nxt})
+
+
+def orthonormalize_right(net: Network, params: Dict, k: int) -> Dict:
+    """Right-orthonormalize main node k, pushing the triangular factor into
+    main node k-1 (reference node_orthonormalize_right, network.py:662-707)."""
+    t = net.topology
+    if k <= 0:
+        return params
+    ni, nj = t.main_nodes[k], t.main_nodes[k - 1]
+    pi, pj = _bond_axis(net, ni, nj)
+    name_i, name_j = t.nodes[ni].name, t.nodes[nj].name
+    core = params[name_i]
+    moved = jnp.moveaxis(core, pi, -1)  # (rest..., bond)
+    rows = core.size // core.shape[pi]
+    if rows < core.shape[pi]:
+        return params
+    mat = moved.reshape(rows, core.shape[pi])
+    Q, R = jnp.linalg.qr(mat, mode="reduced")
+    # core = Q R  =>  keep Q (orthonormal over non-bond dims), push Rᵀ so that
+    # prev'[..., i] = sum_j prev[..., j] R[i, j]  preserves the contraction.
+    new_core = jnp.moveaxis(Q.reshape(moved.shape), -1, pi)
+    prv = jnp.moveaxis(params[name_j], pj, -1)
+    new_prv = jnp.moveaxis(jnp.tensordot(prv, R, axes=[[-1], [1]]), -1, pj)
+    return dict(params, **{name_i: new_core, name_j: new_prv})
+
+
+def orthonormalize_all_left(net: Network, params: Dict) -> Dict:
+    """Reference orthonormalize_left over all main nodes (network.py:611-616)."""
+    for k in range(len(net.topology.main_nodes)):
+        params = orthonormalize_left(net, params, k)
+    return params
+
+
+def orthonormalize_all_right(net: Network, params: Dict) -> Dict:
+    for k in range(len(net.topology.main_nodes) - 1, -1, -1):
+        params = orthonormalize_right(net, params, k)
+    return params

@@ -1,0 +1,507 @@
+"""Accumulating sweep optimizer (DMRG-style alternating least squares).
+
+Reimplements the reference trainer `TensorNetwork.accumulating_swipe`
+(`/root/reference/tensor/network.py:379-608`) and the ensemble routing of
+`SumOfNetworks` (network.py:988-1060), redesigned for XLA:
+
+- One jitted *node update* per (node, direction): a `lax.scan` over data
+  chunks accumulates the Gauss-Newton system A,b on device (bit-exact to the
+  reference's per-batch `A_out.add_` accumulation, network.py:463-468), then
+  solves and applies the update — zero host round-trips inside a node update.
+- Environments are carried *between* node updates as device arrays: far-side
+  environments are precomputed once per half-sweep and the near side advances
+  incrementally, so a half-sweep costs O(N) column contractions per sample
+  instead of the reference's O(N * batches * N) full-stack recomputes
+  (network.py:119-120 recomputes both stacks every forward).
+- Sum-of-networks members maintain cached member outputs; the total
+  prediction at a node is J·core + rest, so member forwards are never
+  recomputed from scratch (reference recomputes every member every batch,
+  network.py:1009-1021).
+
+Python keeps control *between* node updates, preserving the reference's
+callback semantics: `convergence_criterion()` early stopping, `block_callback`,
+`loss_callback`, wall-clock `timeout`, and the singular-solve abort (we check
+an all-finite flag instead of catching LinAlgError, network.py:481-484).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import Network, Operand
+from .solve import apply_update, cpd_diag_mask, solve_block
+from .topology import INPUT
+
+
+@dataclasses.dataclass
+class SweepConfig:
+    """Mirrors the reference accumulating_swipe kwargs (network.py:379)."""
+
+    num_swipes: int = 1
+    batch_size: int = -1  # chunk size; <=0 means full batch
+    method: str = "ridge_cholesky"
+    eps: object = 1e-12  # float or per-half-sweep list
+    eps_decay: Optional[float] = None
+    eps_per_node: bool = False
+    lr: float = 1.0
+    direction: str = "l2r"
+    skip_second: bool = False
+    orthonormalize: bool = False
+    adaptive_step: bool = False
+    max_norm: Optional[float] = None
+    timeout: Optional[float] = None
+    refine: bool = False  # one iterative-refinement pass after each solve
+    verbose: int = 0
+
+
+class Member:
+    """One network of an (optional) type-I sum. `input_fn` adapts the global
+    x to this member's inputs (reference slices x[..., :shape] per member,
+    network.py:1012)."""
+
+    def __init__(self, net: Network, input_fn: Optional[Callable] = None):
+        self.net = net
+        self.input_fn = input_fn or (lambda x: net.bind_inputs(x))
+
+
+class Sweeper:
+    def __init__(self, members, loss_fn, cfg: SweepConfig):
+        if isinstance(members, Network):
+            members = [Member(members)]
+        self.members: List[Member] = list(members)
+        self.loss_fn = loss_fn
+        self.cfg = cfg
+        self._jits: Dict = {}
+
+    # ------------------------------------------------------------------ data
+    def _prepare(self, x, y, sample_weight):
+        S = int(y.shape[0])
+        B = self.cfg.batch_size
+        if B is None or B <= 0 or B > S:
+            B = S
+        P = ((S + B - 1) // B) * B
+        pad = P - S
+
+        def pad0(a):
+            a = jnp.asarray(a)
+            if pad == 0:
+                return a
+            return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+
+        w = jnp.ones((S,), jnp.float32) if sample_weight is None else jnp.asarray(
+            sample_weight, jnp.float32)
+        data = {
+            "y": pad0(y),
+            "w": pad0(w),
+            "inputs": [
+                {k: pad0(v) for k, v in m.input_fn(x).items()} for m in self.members
+            ],
+            "S": S,
+            "B": B,
+            "P": P,
+        }
+        return data
+
+    # ------------------------------------------------------------- jit: envs
+    def _jit_far_envs(self, mid: int, direction: str):
+        key = ("far", mid, direction)
+        if key not in self._jits:
+            net = self.members[mid].net
+
+            def fn(params, inputs):
+                envs = net.env_chain(params, inputs, direction)
+                return tuple(e[1] for e in envs)
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _jit_advance(self, mid: int, ci: int, direction: str, has_prev: bool):
+        key = ("adv", mid, ci, direction, has_prev)
+        if key not in self._jits:
+            net = self.members[mid].net
+            ncols = len(net.topology.columns)
+            if direction == "left":
+                cols = tuple(range(0, ci + 1))
+                prev_axes = net.env_keep(tuple(range(0, ci))) if has_prev else None
+            else:
+                cols = tuple(range(ci, ncols))
+                prev_axes = net.env_keep(tuple(range(ci + 1, ncols))) if has_prev else None
+            keep = net.env_keep(cols)
+
+            def fn(params, prev, inputs):
+                prev_op = (prev_axes, prev) if has_prev else None
+                return net.env_step(prev_op, ci, params, inputs, cols)[1]
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _env_axes(self, mid: int, side: str, ci: int):
+        net = self.members[mid].net
+        ncols = len(net.topology.columns)
+        if side == "left":
+            return net.env_keep(tuple(range(0, ci + 1)))
+        return net.env_keep(tuple(range(ci, ncols)))
+
+    # ----------------------------------------------------------- jit: update
+    def _jit_update(self, mid: int, ni: int, method: str, use_rest: bool,
+                    return_pred: bool, B: int):
+        key = ("upd", mid, ni, method, use_rest, return_pred, B)
+        if key in self._jits:
+            return self._jits[key]
+        cfg = self.cfg
+        net = self.members[mid].net
+        t = net.topology
+        ci = t.col_of[ni]
+        ncols = len(t.columns)
+        name = t.nodes[ni].name
+        has_left, has_right = ci > 0, ci < ncols - 1
+        L_axes = self._env_axes(mid, "left", ci - 1) if has_left else None
+        R_axes = self._env_axes(mid, "right", ci + 1) if has_right else None
+        spec = t.nodes[ni]
+        gradient_mode = method == "gradient"
+        loss_fn = self.loss_fn
+
+        col_input_names = tuple(
+            t.nodes[nj].name for nj in t.columns[ci] if t.nodes[nj].kind == INPUT
+        )
+
+        def chunked(a):
+            return a.reshape((a.shape[0] // B, B) + a.shape[1:])
+
+        def weighted(loss, g, H, w):
+            wl = w.astype(loss.dtype)
+            gshape = (-1,) + (1,) * (g.ndim - 1)
+            hshape = (-1,) + (1,) * (H.ndim - 1)
+            return (loss * wl, g * w.astype(g.dtype).reshape(gshape),
+                    H * w.astype(H.dtype).reshape(hshape))
+
+        def fn(params, L, R, inputs, y, w, y_rest, eps):
+            core = params[name]
+            mask = None
+            if spec.cpd_mask:
+                mask = cpd_diag_mask(core.shape, spec.labels, spec.left,
+                                     spec.right, core.dtype)
+
+            pieces = {
+                "x": {k: chunked(inputs[k]) for k in col_input_names},
+                "y": chunked(y),
+                "w": chunked(w),
+            }
+            if has_left:
+                pieces["L"] = chunked(L)
+            if has_right:
+                pieces["R"] = chunked(R)
+            if use_rest:
+                pieces["rest"] = chunked(y_rest)
+
+            def jac(piece, prms):
+                Lop = (L_axes, piece["L"]) if has_left else None
+                Rop = (R_axes, piece["R"]) if has_right else None
+                return net.jacobian(ni, prms, piece["x"], Lop, Rop)
+
+            if gradient_mode:
+                # per-chunk steepest-descent update (network.py:469-470)
+                def body(carry, piece):
+                    cur, loss_acc = carry
+                    prms = dict(params, **{name: cur})
+                    J = jac(piece, prms)
+                    pred = net.predict_from_jacobian(ni, J, cur)
+                    if use_rest:
+                        pred = pred + piece["rest"]
+                    loss, g, H = loss_fn(pred, piece["y"])
+                    loss, g, H = weighted(loss, g, H, piece["w"])
+                    _, b = net.gram_and_rhs(ni, J, g, H)
+                    cur = apply_update(cur, -b, cfg.lr, cfg.adaptive_step,
+                                       cfg.max_norm, mask)
+                    return (cur, loss_acc + loss.sum()), None
+
+                (new_core, loss_sum), _ = jax.lax.scan(body, (core, 0.0), pieces)
+                ok = jnp.all(jnp.isfinite(new_core))
+            else:
+                Dn = core.size
+                A0 = jnp.zeros(core.shape + core.shape, core.dtype)
+                b0 = jnp.zeros(core.shape, core.dtype)
+
+                def body(carry, piece):
+                    A_acc, b_acc, loss_acc = carry
+                    J = jac(piece, params)
+                    pred = net.predict_from_jacobian(ni, J, core)
+                    if use_rest:
+                        pred = pred + piece["rest"]
+                    loss, g, H = loss_fn(pred, piece["y"])
+                    loss, g, H = weighted(loss, g, H, piece["w"])
+                    A, b = net.gram_and_rhs(ni, J, g, H)
+                    return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
+
+                (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
+                step, ok = solve_block(A, b, core, method, eps, cfg.refine)
+                new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
+                                        cfg.max_norm, mask)
+
+            pred_out = None
+            if return_pred:
+                prms = dict(params, **{name: new_core})
+
+                def body2(_, piece):
+                    J = jac(piece, prms)
+                    return None, net.predict_from_jacobian(ni, J, new_core)
+
+                _, preds = jax.lax.scan(body2, None, pieces)
+                pred_out = preds.reshape((-1,) + preds.shape[2:])
+            return new_core, loss_sum, ok, pred_out
+
+        jf = jax.jit(fn)
+        self._jits[key] = jf
+        return jf
+
+    def _jit_member_forward(self, mid: int, B: int):
+        key = ("fwd", mid, B)
+        if key not in self._jits:
+            net = self.members[mid].net
+
+            def fn(params, inputs):
+                def body(_, x_c):
+                    return None, net.forward(params, x_c)
+
+                chunked = {k: v.reshape((v.shape[0] // B, B) + v.shape[1:])
+                           for k, v in inputs.items()}
+                _, preds = jax.lax.scan(body, None, chunked)
+                return preds.reshape((-1,) + preds.shape[2:])
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    # ------------------------------------------------------------------- run
+    def run(self, params_list, x, y, *, sample_weight=None,
+            convergence_criterion=None, block_callback=None, loss_callback=None,
+            node_order: Optional[Sequence] = None):
+        """Runs num_swipes * (first pass, second pass). Returns
+        (params_list, success) — success False on timeout or singular solve,
+        matching the reference's return-False contract (network.py:434-445,
+        481-484)."""
+        cfg = self.cfg
+        if isinstance(params_list, dict):
+            params_list = [params_list]
+        params_list = list(params_list)
+        data = self._prepare(x, y, sample_weight)
+        start = time.time()
+
+        # train sequence: (member, node) pairs in member order
+        seq = [(mi, ni) for mi, m in enumerate(self.members)
+               for ni in m.net.topology.train_nodes]
+        if node_order is not None:
+            seq = list(node_order)
+
+        use_rest = len(self.members) > 1
+        y_members = None
+        if use_rest:
+            y_members = [
+                self._jit_member_forward(mi, data["B"])(params_list[mi],
+                                                        data["inputs"][mi])
+                for mi in range(len(self.members))
+            ]
+
+        NS = 0
+        last_other: Optional[Tuple[int, int]] = None  # (member, col) updated last
+        for _swipe in range(cfg.num_swipes):
+            for pass_idx in (0, 1):
+                if pass_idx == 1 and cfg.skip_second:
+                    continue
+                if pass_idx == 0:
+                    order = list(seq) if cfg.direction == "l2r" else list(reversed(seq))
+                else:
+                    order = list(reversed(seq)) if cfg.direction == "l2r" else list(seq)
+                ok, stop, last_other = self._half_pass(
+                    params_list, data, order, NS, last_other, use_rest,
+                    y_members, start, convergence_criterion, block_callback,
+                    loss_callback)
+                NS += 1
+                if not ok:
+                    return params_list, False
+                if stop:
+                    return params_list, True
+        return params_list, True
+
+    # ------------------------------------------------------------- half pass
+    def _eps_for(self, NS: int, node_i: int, n_nodes: int, reverse: bool):
+        cfg = self.cfg
+        if cfg.eps_per_node:
+            if isinstance(cfg.eps, (list, tuple)):
+                idx = node_i if not reverse else n_nodes - 1 - node_i
+                return float(cfg.eps[idx])
+            return float(cfg.eps)
+        e = cfg.eps[NS] if isinstance(cfg.eps, (list, tuple)) else cfg.eps
+        if cfg.eps_decay is not None:
+            e = e * cfg.eps_decay ** NS
+        return float(e)
+
+    def _half_pass(self, params_list, data, order, NS, last_other, use_rest,
+                   y_members, start, convergence_criterion, block_callback,
+                   loss_callback):
+        cfg = self.cfg
+        S, B = data["S"], data["B"]
+
+        # determine per-member traversal direction from column monotonicity
+        member_dirs = {}
+        for mi in {m for m, _ in order}:
+            cols = [self.members[mi].net.topology.col_of[n] for m, n in order if m == mi]
+            member_dirs[mi] = "l2r" if cols == sorted(cols) else (
+                "r2l" if cols == sorted(cols, reverse=True) else "mixed")
+
+        far_envs: Dict[int, List] = {}
+        near_env: Dict[int, Optional[jax.Array]] = {}
+        near_col: Dict[int, int] = {}
+
+        def ensure_member(mi):
+            if mi in far_envs:
+                return
+            net = self.members[mi].net
+            d = member_dirs[mi]
+            far_dir = "right" if d == "l2r" else "left"
+            far_envs[mi] = list(self._jit_far_envs(mi, far_dir)(
+                params_list[mi], data["inputs"][mi]))
+            near_env[mi] = None
+            near_col[mi] = -1 if d == "l2r" else len(net.topology.columns)
+
+        def advance_near(mi, upto_col):
+            """Bring the near-side env up to (and including) upto_col."""
+            d = member_dirs[mi]
+            net = self.members[mi].net
+            step = 1 if d == "l2r" else -1
+            side = "left" if d == "l2r" else "right"
+            while (near_col[mi] + step <= upto_col if d == "l2r"
+                   else near_col[mi] + step >= upto_col):
+                c = near_col[mi] + step
+                fn = self._jit_advance(mi, c, side, near_env[mi] is not None)
+                near_env[mi] = fn(params_list[mi], near_env[mi], data["inputs"][mi])
+                near_col[mi] = c
+
+        rest_cache: Dict[int, jax.Array] = {}
+
+        def rest_for(mi):
+            if not use_rest:
+                return None
+            if mi not in rest_cache:
+                tot = None
+                for mj in range(len(self.members)):
+                    if mj == mi:
+                        continue
+                    tot = y_members[mj] if tot is None else tot + y_members[mj]
+                rest_cache[mi] = tot
+            return rest_cache[mi]
+
+        n_nodes = len(order)
+        member_last_i = {}
+        for i, (mi, ni) in enumerate(order):
+            member_last_i[mi] = i
+
+        prev_mi = None
+        for i, (mi, ni) in enumerate(order):
+            member = self.members[mi]
+            net = member.net
+            t = net.topology
+            ci = t.col_of[ni]
+            if last_other is not None and last_other == (mi, ci):
+                continue
+            if cfg.timeout is not None and (time.time() - start) > cfg.timeout:
+                if cfg.verbose > 0:
+                    print(f"Timeout reached ({cfg.timeout} s). Stopping sweep.")
+                return False, False, last_other
+
+            ensure_member(mi)
+            d = member_dirs[mi]
+            if d == "mixed":
+                raise NotImplementedError(
+                    "non-monotone node_order within a member is not supported; "
+                    "pass a column-monotone order")
+            # near env must cover everything strictly before ci
+            if d == "l2r" and ci - 1 >= 0:
+                advance_near(mi, ci - 1)
+            elif d == "r2l" and ci + 1 <= len(t.columns) - 1:
+                advance_near(mi, ci + 1)
+
+            ncols = len(t.columns)
+            if d == "l2r":
+                L = near_env[mi]
+                R = far_envs[mi][ci + 1] if ci < ncols - 1 else None
+            else:
+                L = far_envs[mi][ci - 1] if ci > 0 else None
+                R = near_env[mi]
+
+            eps = self._eps_for(NS, i, n_nodes, reverse=False)
+            method = cfg.method
+            if eps == 0 and method == "ridge_exact":
+                method = "exact"  # reference network.py:478-479
+
+            return_pred = use_rest and i == member_last_i[mi]
+            upd = self._jit_update(mi, ni, method, use_rest, return_pred, B)
+            new_core, loss_sum, ok, pred = upd(
+                params_list[mi], L, R, data["inputs"][mi], data["y"], data["w"],
+                rest_for(mi), jnp.asarray(eps, jnp.float32))
+            if not bool(ok):
+                if cfg.verbose > 0:
+                    print(f"Singular system for node {t.nodes[ni].name}")
+                return False, False, last_other
+            name = t.nodes[ni].name
+            params_list[mi] = dict(params_list[mi], **{name: new_core})
+            last_other = (mi, ci)
+
+            if cfg.orthonormalize:
+                from . import gauges
+                k = t.main_nodes.index(ni) if ni in t.main_nodes else None
+                if k is not None:
+                    if d == "l2r" and k < len(t.main_nodes) - 1:
+                        params_list[mi] = gauges.orthonormalize_left(net, params_list[mi], k)
+                        # far env at the modified neighbour is stale: refresh
+                        self._refresh_far(mi, ci + 1, far_envs, params_list, data)
+                    elif d == "r2l" and k > 0:
+                        params_list[mi] = gauges.orthonormalize_right(net, params_list[mi], k)
+                        self._refresh_far(mi, ci - 1, far_envs, params_list, data,
+                                          side="left")
+
+            if use_rest and pred is not None:
+                y_members[mi] = pred
+                rest_cache.clear()
+
+            avg_loss = float(loss_sum) / S if loss_callback or cfg.verbose > 1 else None
+            if cfg.verbose > 1:
+                print(f"NS: {NS}, loss ({name}): {avg_loss} (eps: {eps})")
+            if loss_callback is not None:
+                loss_callback(NS, name, avg_loss)
+            if convergence_criterion is not None and convergence_criterion():
+                if cfg.verbose > 0:
+                    print("Converged")
+                if block_callback is not None:
+                    block_callback(NS, name)
+                return True, True, last_other
+            if block_callback is not None:
+                block_callback(NS, name)
+            prev_mi = mi
+
+        return True, False, last_other
+
+    def _refresh_far(self, mi, ci, far_envs, params_list, data, side="right"):
+        net = self.members[mi].net
+        ncols = len(net.topology.columns)
+        if not (0 <= ci < ncols):
+            return
+        if side == "right":
+            prev = far_envs[mi][ci + 1] if ci < ncols - 1 else None
+            fn = self._jit_advance(mi, ci, "right", prev is not None)
+        else:
+            prev = far_envs[mi][ci - 1] if ci > 0 else None
+            fn = self._jit_advance(mi, ci, "left", prev is not None)
+        far_envs[mi][ci] = fn(params_list[mi], prev, data["inputs"][mi])
+
+
+def accumulating_sweep(net: Network, params, x, y, loss_fn,
+                       cfg: Optional[SweepConfig] = None, **run_kw):
+    """Single-network convenience wrapper. Returns (params, success)."""
+    sw = Sweeper(net, loss_fn, cfg or SweepConfig())
+    out, ok = sw.run([params], x, y, **run_kw)
+    return out[0], ok

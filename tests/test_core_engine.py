@@ -1,0 +1,132 @@
+"""Core engine oracles (SURVEY.md §4):
+1. TT forward vs explicit polynomial expansion on tiny shapes.
+2. Jacobian/get_A_b vs autograd of the flattened model.
+3. One exact-solve sweep on an overdetermined linear problem reaches the
+   least-squares optimum.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tensornetworksfork_tpu.models.layers import (
+    TensorTrainLayer, CPDLayer, CPDTrainLayer, CumSumLayer,
+    TensorConvolutionTrainLayer,
+)
+from tensornetworksfork_tpu.ops.bregman import SquareBregFunction, XEBregman
+from tensornetworksfork_tpu.core.sweep import SweepConfig, accumulating_sweep
+
+
+def dense_tt(params, N):
+    """Explicitly contract TT cores to the full coefficient tensor."""
+    full = None
+    for i in range(1, N + 1):
+        core = np.asarray(params[f"A{i}"])
+        # axes per builder: (r_i, [c], p_i, r_{i+1}) with size-1 bonds squeezed
+        if i == 1:
+            # (c?, p, r2) or (p, r2)
+            if core.ndim == 2:
+                core = core[None]  # (c=1, p, r2)
+            full = core  # (c, p1, r2)
+        elif i < N:
+            # (r_i, p_i, r_{i+1})
+            full = np.einsum("c...r,rps->c...ps", full, core)
+        else:
+            if core.ndim == 1:
+                core = core[:, None]
+            # (r_N, p_N)
+            full = np.einsum("c...r,rp->c...p", full, core)
+    return full  # (c, p1, ..., pN)
+
+
+def test_tt_forward_matches_polynomial():
+    N, r, f = 3, 4, 3
+    layer = TensorTrainLayer(N, r, f, output_shape=(2,), constrict_bond=True, seed=1)
+    x = np.random.default_rng(0).standard_normal((5, f)).astype(np.float32)
+    y = np.asarray(layer(jnp.asarray(x)))
+    full = dense_tt(layer.params, N)  # (c, p1, p2, p3)
+    expected = np.einsum("cpqr,sp,sq,sr->sc", full, x, x, x)
+    np.testing.assert_allclose(y, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_jacobian_and_gram_match_autograd():
+    N, r, f = 3, 3, 3
+    layer = TensorTrainLayer(N, r, f, output_shape=(2,), seed=2)
+    net = layer.network
+    t = net.topology
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((6, f)), jnp.float32)
+    inputs = net.bind_inputs(x)
+    params = layer.params
+
+    envs_l = net.env_chain(params, inputs, "left")
+    envs_r = net.env_chain(params, inputs, "right")
+    for k, ni in enumerate(t.main_nodes):
+        name = t.nodes[ni].name
+        L = envs_l[k - 1] if k > 0 else None
+        R = envs_r[k + 1] if k < len(t.main_nodes) - 1 else None
+        J = net.jacobian(ni, params, inputs, L, R)
+
+        # autograd jacobian of flattened forward w.r.t. this core
+        def fwd_flat(core_flat):
+            p = dict(params, **{name: core_flat.reshape(params[name].shape)})
+            return net.forward(p, inputs).reshape(-1)
+
+        J_auto = jax.jacfwd(fwd_flat)(params[name].reshape(-1))  # (S*C, D)
+
+        # engine-side: predict_from_jacobian must equal forward
+        pred = net.predict_from_jacobian(ni, J, params[name])
+        np.testing.assert_allclose(
+            np.asarray(pred), np.asarray(net.forward(params, inputs)),
+            rtol=1e-4, atol=1e-4)
+
+        # A,b against dense construction from J_auto with square loss
+        y_true = jnp.zeros(pred.shape)
+        loss, g, H = SquareBregFunction()(pred, y_true)
+        A, b = net.gram_and_rhs(ni, J, g, H)
+        D = params[name].size
+        A_f = np.asarray(A).reshape(D, D)
+        b_f = np.asarray(b).reshape(D)
+        Ja = np.asarray(J_auto)
+        # square loss: grad=2*pred, hess=2I per sample-output
+        b_ref = Ja.T @ (2 * np.asarray(pred).reshape(-1))
+        A_ref = 2 * Ja.T @ Ja
+        np.testing.assert_allclose(b_f, b_ref, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(A_f, A_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_exact_sweep_reaches_least_squares_optimum():
+    """N=1 TT is plain linear regression: one exact solve must hit the
+    pseudoinverse optimum."""
+    rng = np.random.default_rng(3)
+    S, f = 64, 4
+    X = rng.standard_normal((S, f)).astype(np.float32)
+    w_true = rng.standard_normal(f).astype(np.float32)
+    y = (X @ w_true).astype(np.float32).reshape(S, 1)
+
+    layer = TensorTrainLayer(1, 1, f, output_shape=(1,), seed=0)
+    cfg = SweepConfig(num_swipes=1, method="exact", eps=0.0, skip_second=True)
+    params, ok = accumulating_sweep(layer.network, layer.params, jnp.asarray(X),
+                                    jnp.asarray(y), SquareBregFunction(), cfg)
+    assert ok
+    pred = layer.network.forward(params, layer.network.bind_inputs(jnp.asarray(X)))
+    np.testing.assert_allclose(np.asarray(pred), y, rtol=1e-3, atol=1e-3)
+
+
+def test_multi_sweep_fits_quadratic():
+    """Rank-full N=2 TT can represent x^T W x exactly; sweeps should converge."""
+    rng = np.random.default_rng(4)
+    S, f = 256, 4
+    X1 = rng.standard_normal((S, f - 1)).astype(np.float32)
+    X = np.concatenate([X1, np.ones((S, 1), np.float32)], axis=1)  # bias col
+    W = rng.standard_normal((f, f)).astype(np.float32)
+    y = np.einsum("si,ij,sj->s", X, W, X).reshape(S, 1).astype(np.float32)
+
+    layer = TensorTrainLayer(2, f, f, output_shape=(1,), constrict_bond=False, seed=5)
+    cfg = SweepConfig(num_swipes=8, method="ridge_cholesky", eps=1e-6,
+                      batch_size=64)
+    params, ok = accumulating_sweep(layer.network, layer.params, jnp.asarray(X),
+                                    jnp.asarray(y), SquareBregFunction(), cfg)
+    assert ok
+    pred = np.asarray(layer.network.forward(params, layer.network.bind_inputs(jnp.asarray(X))))
+    rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+    assert rmse < 1e-2, rmse
