@@ -9,6 +9,15 @@ over sample axes, and Pallas kernels for the matrix-free solver tier.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# The reference runs float64 (torch.set_default_dtype in nearly every script);
+# TPUs have no fast f64, so this framework runs f32 end-to-end and relies on
+# full-precision f32 matmuls (3-pass bf16 on the MXU) to keep the Gauss-Newton
+# systems well resolved. Hot-path einsums request HIGHEST explicitly; this
+# global default protects every auxiliary matmul (QR pushes, losses, ...).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .core.topology import Topology, TopologyBuilder, NodeSpec, PARAM, INPUT, CONST
 from .core.engine import Network
 from .core.sweep import SweepConfig, Sweeper, Member, accumulating_sweep

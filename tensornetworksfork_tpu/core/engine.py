@@ -236,6 +236,37 @@ class Network:
         return A, b
 
     # ------------------------------------------------------- matrix-free tier
+    def jacobian_apply(self, ni: int, operands: Sequence[Operand],
+                       v: jax.Array) -> jax.Array:
+        """(J v)[s, *out] computed as ONE fused contraction over the jacobian
+        operands — J itself is never materialised (contrast with the reference
+        matvec that builds J every iteration, network.py:908-916)."""
+        t = self.topology
+        keep = (t.sample_axis,) + t.output_axes
+        ops = list(operands) + [(t.node_axes[ni], v)]
+        return contract(ops, keep, self.precision)
+
+    def jacobian_transpose_apply(self, ni: int, operands: Sequence[Operand],
+                                 u: jax.Array) -> jax.Array:
+        """(Jᴴ u)[node axes] as one fused contraction; u axes (s, *out)."""
+        t = self.topology
+        u_axes = (t.sample_axis,) + t.output_axes
+        ops = [(axes, arr.conj() if jnp.iscomplexobj(arr) else arr)
+               for axes, arr in operands] + [(u_axes, u)]
+        return contract(ops, t.node_axes[ni], self.precision)
+
+    def hessian_apply(self, hess: jax.Array, u: jax.Array) -> jax.Array:
+        """H u over the output axes; diagonal (ndim == u.ndim) or full."""
+        if hess.ndim == u.ndim:
+            return hess * u
+        t = self.topology
+        s = t.sample_axis
+        out = t.output_axes
+        H_axes = (s,) + out + tuple(_prime(a) for a in out)
+        u_axes = (s,) + tuple(_prime(a) for a in out)
+        return contract([(H_axes, hess), (u_axes, u)], (s,) + out,
+                        self.precision)
+
     def gram_matvec(self, ni: int, J: Operand, hess: jax.Array, grad_ndim: int,
                     v: jax.Array) -> jax.Array:
         """(Jᴴ H J) v without materialising A (reference get_J matvec recipe,

@@ -56,7 +56,12 @@ class SweepConfig:
     max_norm: Optional[float] = None
     timeout: Optional[float] = None
     refine: bool = False  # one iterative-refinement pass after each solve
+    max_iter: int = 50    # iterative methods (cg/minres/lanczos)
+    tol: float = 1e-6
     verbose: int = 0
+
+
+ITERATIVE_METHODS = ("cg", "minres", "lanczos")
 
 
 class Member:
@@ -77,47 +82,63 @@ class Sweeper:
         self.loss_fn = loss_fn
         self.cfg = cfg
         self._jits: Dict = {}
+        self._node_sols: Dict = {}
 
     # ------------------------------------------------------------------ data
-    def _prepare(self, x, y, sample_weight):
+    def _prepare(self, x, y, sample_weight, mesh=None):
+        """Pads the sample axis and stores everything pre-chunked as
+        (nchunks, B, ...). With a mesh, the per-chunk sample axis (dim 1) is
+        sharded over 'data' — padding rows carry weight 0, so the sharded
+        accumulation is exact (SURVEY.md §5.8)."""
         S = int(y.shape[0])
         B = self.cfg.batch_size
         if B is None or B <= 0 or B > S:
             B = S
+        if mesh is not None:
+            ndev = mesh.devices.size
+            B = ((B + ndev - 1) // ndev) * ndev
         P = ((S + B - 1) // B) * B
         pad = P - S
 
-        def pad0(a):
+        def chunk(a):
             a = jnp.asarray(a)
-            if pad == 0:
-                return a
-            return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+            return a.reshape((P // B, B) + a.shape[1:])
 
         w = jnp.ones((S,), jnp.float32) if sample_weight is None else jnp.asarray(
             sample_weight, jnp.float32)
         data = {
-            "y": pad0(y),
-            "w": pad0(w),
+            "y": chunk(y),
+            "w": chunk(w),
             "inputs": [
-                {k: pad0(v) for k, v in m.input_fn(x).items()} for m in self.members
+                {k: chunk(v) for k, v in m.input_fn(x).items()} for m in self.members
             ],
             "S": S,
             "B": B,
             "P": P,
         }
+        if mesh is not None:
+            from ..parallel.mesh import shard_chunked
+            data["y"] = shard_chunked(data["y"], mesh)
+            data["w"] = shard_chunked(data["w"], mesh)
+            data["inputs"] = [shard_chunked(d, mesh) for d in data["inputs"]]
         return data
 
     # ------------------------------------------------------------- jit: envs
+    # All env arrays are chunked (nchunks, B, ...): the per-batch env
+    # computation is vmapped over the chunk axis.
     def _jit_far_envs(self, mid: int, direction: str):
         key = ("far", mid, direction)
         if key not in self._jits:
             net = self.members[mid].net
 
-            def fn(params, inputs):
+            def one(params, inputs):
                 envs = net.env_chain(params, inputs, direction)
                 return tuple(e[1] for e in envs)
 
-            self._jits[key] = jax.jit(fn)
+            self._jits[key] = jax.jit(jax.vmap(one, in_axes=(None, 0)))
         return self._jits[key]
 
     def _jit_advance(self, mid: int, ci: int, direction: str, has_prev: bool):
@@ -131,13 +152,13 @@ class Sweeper:
             else:
                 cols = tuple(range(ci, ncols))
                 prev_axes = net.env_keep(tuple(range(ci + 1, ncols))) if has_prev else None
-            keep = net.env_keep(cols)
 
-            def fn(params, prev, inputs):
+            def one(params, prev, inputs):
                 prev_op = (prev_axes, prev) if has_prev else None
                 return net.env_step(prev_op, ci, params, inputs, cols)[1]
 
-            self._jits[key] = jax.jit(fn)
+            self._jits[key] = jax.jit(
+                jax.vmap(one, in_axes=(None, 0 if has_prev else None, 0)))
         return self._jits[key]
 
     def _env_axes(self, mid: int, side: str, ci: int):
@@ -170,9 +191,6 @@ class Sweeper:
             t.nodes[nj].name for nj in t.columns[ci] if t.nodes[nj].kind == INPUT
         )
 
-        def chunked(a):
-            return a.reshape((a.shape[0] // B, B) + a.shape[1:])
-
         def weighted(loss, g, H, w):
             wl = w.astype(loss.dtype)
             gshape = (-1,) + (1,) * (g.ndim - 1)
@@ -180,29 +198,108 @@ class Sweeper:
             return (loss * wl, g * w.astype(g.dtype).reshape(gshape),
                     H * w.astype(H.dtype).reshape(hshape))
 
-        def fn(params, L, R, inputs, y, w, y_rest, eps):
+        def fn(params, L, R, inputs, y, w, y_rest, eps, x0):
             core = params[name]
             mask = None
             if spec.cpd_mask:
                 mask = cpd_diag_mask(core.shape, spec.labels, spec.left,
                                      spec.right, core.dtype)
 
+            # everything already chunked (nchunks, B, ...) by _prepare
             pieces = {
-                "x": {k: chunked(inputs[k]) for k in col_input_names},
-                "y": chunked(y),
-                "w": chunked(w),
+                "x": {k: inputs[k] for k in col_input_names},
+                "y": y,
+                "w": w,
             }
             if has_left:
-                pieces["L"] = chunked(L)
+                pieces["L"] = L
             if has_right:
-                pieces["R"] = chunked(R)
+                pieces["R"] = R
             if use_rest:
-                pieces["rest"] = chunked(y_rest)
+                pieces["rest"] = y_rest
+
+            def jac_ops(piece, prms):
+                Lop = (L_axes, piece["L"]) if has_left else None
+                Rop = (R_axes, piece["R"]) if has_right else None
+                return net.jacobian_operands(ni, prms, piece["x"], Lop, Rop)
 
             def jac(piece, prms):
                 Lop = (L_axes, piece["L"]) if has_left else None
                 Rop = (R_axes, piece["R"]) if has_right else None
                 return net.jacobian(ni, prms, piece["x"], Lop, Rop)
+
+            if method in ITERATIVE_METHODS:
+                # matrix-free tier (reference scipy_swipe / lanczos_swipe,
+                # network.py:709-932): freeze the loss linearisation, then run
+                # the whole Krylov solve on device with a fused J-apply matvec.
+                from . import krylov
+
+                def body_lin(carry, piece):
+                    b_acc, loss_acc = carry
+                    ops = jac_ops(piece, params)
+                    pred = net.jacobian_apply(ni, ops, core)
+                    if use_rest:
+                        pred = pred + piece["rest"]
+                    loss, g, H = loss_fn(pred, piece["y"])
+                    loss, g, H = weighted(loss, g, H, piece["w"])
+                    b = net.jacobian_transpose_apply(ni, ops, g)
+                    return (b_acc + b, loss_acc + loss.sum()), H
+
+                (b_rhs, loss_sum), H_all = jax.lax.scan(
+                    body_lin, (jnp.zeros(core.shape, core.dtype), 0.0), pieces)
+
+                def matvec_raw(v_flat):
+                    v = v_flat.reshape(core.shape)
+
+                    def body_mv(acc, piece_H):
+                        piece, H = piece_H
+                        ops = jac_ops(piece, params)
+                        Jv = net.jacobian_apply(ni, ops, v)
+                        coeff = net.hessian_apply(H, Jv)
+                        return acc + net.jacobian_transpose_apply(ni, ops, coeff), None
+
+                    Av, _ = jax.lax.scan(
+                        body_mv, jnp.zeros(core.shape, core.dtype),
+                        (pieces, H_all))
+                    return Av.reshape(-1)
+
+                # Ridge (extension over the reference's iterative tier, which
+                # has none: network.py:834-932) + scale normalisation so f32
+                # Krylov iterates can't overflow on ill-conditioned Grams: the
+                # dense path's diag-mean rescale (solve.py) is unavailable
+                # matrix-free, so estimate ||A|| along b with one probe.
+                b_aug = b_rhs.reshape(-1) + 2.0 * eps * core.reshape(-1)
+                bnorm = jnp.linalg.norm(b_aug)
+                unit = b_aug / jnp.maximum(bnorm, 1e-30)
+                scale = jnp.linalg.norm(matvec_raw(unit) + 2.0 * eps * unit)
+                scale = jnp.where(scale <= 0, 1.0, scale)
+
+                def matvec(v_flat):
+                    return (matvec_raw(v_flat) + 2.0 * eps * v_flat) / scale
+
+                b_flat = -b_aug / scale
+                if method == "lanczos":
+                    x_sol = krylov.lanczos_galerkin(matvec, b_flat, x0,
+                                                    cfg.max_iter, cfg.tol)
+                else:
+                    solver = krylov.SOLVERS[method]
+                    x_sol, _ = solver(matvec, b_flat, x0=x0,
+                                      maxiter=cfg.max_iter, tol=cfg.tol)
+                step = x_sol.reshape(core.shape)
+                new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
+                                        cfg.max_norm, mask)
+                ok = jnp.all(jnp.isfinite(new_core))
+                pred_out = None
+                if return_pred:
+                    prms = dict(params, **{name: new_core})
+
+                    def body2i(_, piece):
+                        ops = jac_ops(piece, prms)
+                        return None, net.jacobian_apply(ni, ops, new_core)
+
+                    _, preds = jax.lax.scan(body2i, None, pieces)
+                    pred_out = preds  # chunked (nchunks, B, *out)
+                return new_core, loss_sum, ok, pred_out, x_sol
 
             if gradient_mode:
                 # per-chunk steepest-descent update (network.py:469-470)
@@ -252,14 +349,15 @@ class Sweeper:
                     return None, net.predict_from_jacobian(ni, J, new_core)
 
                 _, preds = jax.lax.scan(body2, None, pieces)
-                pred_out = preds.reshape((-1,) + preds.shape[2:])
-            return new_core, loss_sum, ok, pred_out
+                pred_out = preds  # chunked (nchunks, B, *out)
+            return new_core, loss_sum, ok, pred_out, None
 
         jf = jax.jit(fn)
         self._jits[key] = jf
         return jf
 
     def _jit_member_forward(self, mid: int, B: int):
+        """Member forward over pre-chunked inputs -> chunked predictions."""
         key = ("fwd", mid, B)
         if key not in self._jits:
             net = self.members[mid].net
@@ -268,10 +366,8 @@ class Sweeper:
                 def body(_, x_c):
                     return None, net.forward(params, x_c)
 
-                chunked = {k: v.reshape((v.shape[0] // B, B) + v.shape[1:])
-                           for k, v in inputs.items()}
-                _, preds = jax.lax.scan(body, None, chunked)
-                return preds.reshape((-1,) + preds.shape[2:])
+                _, preds = jax.lax.scan(body, None, inputs)
+                return preds  # (nchunks, B, *out)
 
             self._jits[key] = jax.jit(fn)
         return self._jits[key]
@@ -279,7 +375,7 @@ class Sweeper:
     # ------------------------------------------------------------------- run
     def run(self, params_list, x, y, *, sample_weight=None,
             convergence_criterion=None, block_callback=None, loss_callback=None,
-            node_order: Optional[Sequence] = None):
+            node_order: Optional[Sequence] = None, mesh=None):
         """Runs num_swipes * (first pass, second pass). Returns
         (params_list, success) — success False on timeout or singular solve,
         matching the reference's return-False contract (network.py:434-445,
@@ -288,7 +384,15 @@ class Sweeper:
         if isinstance(params_list, dict):
             params_list = [params_list]
         params_list = list(params_list)
-        data = self._prepare(x, y, sample_weight)
+        # live view for callbacks: convergence_criterion closures read current
+        # params through sweeper.params_list (the reference reads the mutable
+        # node graph directly, models/tensor_train.py:258-262)
+        self.params_list = params_list
+        data = self._prepare(x, y, sample_weight, mesh)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            for mi in range(len(params_list)):
+                params_list[mi] = replicate(params_list[mi], mesh)
         start = time.time()
 
         # train sequence: (member, node) pairs in member order
@@ -345,33 +449,61 @@ class Sweeper:
                    loss_callback):
         cfg = self.cfg
         S, B = data["S"], data["B"]
+        n_nodes = len(order)
 
-        # determine per-member traversal direction from column monotonicity
-        member_dirs = {}
-        for mi in {m for m, _ in order}:
-            cols = [self.members[mi].net.topology.col_of[n] for m, n in order if m == mi]
-            member_dirs[mi] = "l2r" if cols == sorted(cols) else (
-                "r2l" if cols == sorted(cols, reverse=True) else "mixed")
+        # Segment the node sequence into maximal column-monotone runs per
+        # member. Within a run, the near-side env advances incrementally and
+        # the far side is precomputed once; at a run boundary (e.g. the conv
+        # layer's cores-then-conv-blocks train order, layers.py:890) the far
+        # envs are rebuilt against the freshly updated params.
+        run_of = [0] * n_nodes
+        run_trend: Dict[int, int] = {}
+        cur_run = -1
+        prev = None  # (member, col, trend)
+        for i, (mi, ni) in enumerate(order):
+            ci = self.members[mi].net.topology.col_of[ni]
+            if prev is None or prev[0] != mi:
+                cur_run += 1
+                trend = 0
+            else:
+                _, pci, trend = prev
+                if ci > pci:
+                    if trend < 0:
+                        cur_run += 1
+                        trend = 0
+                    trend = max(trend, 1) if trend >= 0 else 1
+                elif ci < pci:
+                    if trend > 0:
+                        cur_run += 1
+                        trend = 0
+                    trend = -1
+            run_of[i] = cur_run
+            run_trend[cur_run] = trend
+            prev = (mi, ci, trend)
 
         far_envs: Dict[int, List] = {}
         near_env: Dict[int, Optional[jax.Array]] = {}
         near_col: Dict[int, int] = {}
+        cur_dir: Dict[int, str] = {}
+        active_run: Dict[int, int] = {}
 
-        def ensure_member(mi):
-            if mi in far_envs:
+        def ensure_run(i, mi):
+            rid = run_of[i]
+            if active_run.get(mi) == rid:
                 return
             net = self.members[mi].net
-            d = member_dirs[mi]
+            d = "l2r" if run_trend[rid] >= 0 else "r2l"
+            cur_dir[mi] = d
             far_dir = "right" if d == "l2r" else "left"
             far_envs[mi] = list(self._jit_far_envs(mi, far_dir)(
                 params_list[mi], data["inputs"][mi]))
             near_env[mi] = None
             near_col[mi] = -1 if d == "l2r" else len(net.topology.columns)
+            active_run[mi] = rid
 
         def advance_near(mi, upto_col):
             """Bring the near-side env up to (and including) upto_col."""
-            d = member_dirs[mi]
-            net = self.members[mi].net
+            d = cur_dir[mi]
             step = 1 if d == "l2r" else -1
             side = "left" if d == "l2r" else "right"
             while (near_col[mi] + step <= upto_col if d == "l2r"
@@ -395,30 +527,29 @@ class Sweeper:
                 rest_cache[mi] = tot
             return rest_cache[mi]
 
-        n_nodes = len(order)
         member_last_i = {}
         for i, (mi, ni) in enumerate(order):
             member_last_i[mi] = i
 
-        prev_mi = None
+        # Junction rule (reference network.py:432-433, 534-535): skip nodes in
+        # the same column as the LAST node of the opposite-direction pass.
+        # The comparison value is frozen for this pass; we separately track
+        # the last node processed here to hand to the next pass.
+        frozen_other = last_other
         for i, (mi, ni) in enumerate(order):
             member = self.members[mi]
             net = member.net
             t = net.topology
             ci = t.col_of[ni]
-            if last_other is not None and last_other == (mi, ci):
+            if frozen_other is not None and frozen_other == (mi, ci):
                 continue
             if cfg.timeout is not None and (time.time() - start) > cfg.timeout:
                 if cfg.verbose > 0:
                     print(f"Timeout reached ({cfg.timeout} s). Stopping sweep.")
                 return False, False, last_other
 
-            ensure_member(mi)
-            d = member_dirs[mi]
-            if d == "mixed":
-                raise NotImplementedError(
-                    "non-monotone node_order within a member is not supported; "
-                    "pass a column-monotone order")
+            ensure_run(i, mi)
+            d = cur_dir[mi]
             # near env must cover everything strictly before ci
             if d == "l2r" and ci - 1 >= 0:
                 advance_near(mi, ci - 1)
@@ -440,9 +571,19 @@ class Sweeper:
 
             return_pred = use_rest and i == member_last_i[mi]
             upd = self._jit_update(mi, ni, method, use_rest, return_pred, B)
-            new_core, loss_sum, ok, pred = upd(
+            x0 = None
+            if method in ITERATIVE_METHODS:
+                # warm-start from the previous solution for this node
+                # (reference node_sols, network.py:861,924-925)
+                x0 = self._node_sols.get((mi, ni))
+                if x0 is None:
+                    x0 = jnp.zeros((params_list[mi][
+                        t.nodes[ni].name].size,), jnp.float32)
+            new_core, loss_sum, ok, pred, x_sol = upd(
                 params_list[mi], L, R, data["inputs"][mi], data["y"], data["w"],
-                rest_for(mi), jnp.asarray(eps, jnp.float32))
+                rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
+            if x_sol is not None:
+                self._node_sols[(mi, ni)] = x_sol
             if not bool(ok):
                 if cfg.verbose > 0:
                     print(f"Singular system for node {t.nodes[ni].name}")
@@ -481,7 +622,6 @@ class Sweeper:
                 return True, True, last_other
             if block_callback is not None:
                 block_callback(NS, name)
-            prev_mi = mi
 
         return True, False, last_other
 

@@ -1,0 +1,91 @@
+"""Estimator-level tests: regression/classification fit quality, type-I sums,
+early stopping, loss-function triples vs autograd."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tensornetworksfork_tpu.models.estimators import TensorTrainRegressor
+from tensornetworksfork_tpu.data.synthetic import make_classification, make_regression
+from tensornetworksfork_tpu.ops import bregman
+
+
+def test_regressor_fits_polynomial():
+    X, y = make_regression(S=512, d=3, degree=2, seed=0)
+    reg = TensorTrainRegressor(N=2, r=6, num_swipes=10, eps_start=1e-4,
+                               eps_decay=0.9, batch_size=256, seed=0)
+    reg.fit(X, y)
+    score = reg.score(X, y)
+    assert score > 0.95, score
+
+
+def test_regressor_type1_and_early_stopping():
+    X, y = make_regression(S=512, d=3, degree=3, seed=1)
+    reg = TensorTrainRegressor(N=3, r=4, model_type="tt_type1", num_swipes=8,
+                               eps_start=1e-3, eps_decay=0.7, batch_size=256,
+                               early_stopping=4, seed=1)
+    reg.fit(X, y)
+    assert reg._early_stopper.epoch > 0
+    assert reg.score(X, y) > 0.8
+
+
+def test_classifier():
+    X, y = make_classification(S=600, d=4, n_classes=3, seed=2)
+    reg = TensorTrainRegressor(N=2, r=8, output_dim=2, task="classification",
+                               bf=bregman.XEBregman(w=1.0), num_swipes=6,
+                               eps_start=1e-2, eps_decay=0.7, batch_size=300,
+                               seed=2)
+    reg.fit(X, y)
+    acc = reg.score(X, y)
+    assert acc > 0.85, acc
+
+
+def test_losses_match_autograd():
+    """Every analytic (loss, grad, hess) triple must agree with autograd."""
+    rng = np.random.default_rng(0)
+    B, C = 4, 3
+    x = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
+
+    cases = []
+    y_sq = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
+    cases.append((bregman.SquareBregFunction(), x, y_sq))
+    labels = jnp.eye(C + 1, dtype=jnp.float32)[jnp.asarray(rng.integers(0, C + 1, B))]
+    cases.append((bregman.XEBregman(w=1.3), x, labels))
+    y_bin = jnp.asarray(rng.uniform(0.1, 0.9, (B, C)), jnp.float32)
+    cases.append((bregman.BinaryKLDivBregman(w=0.7), x, y_bin))
+    cases.append((bregman.SoftmaxSquaredLoss(w=1.1), x,
+                  jax.nn.softmax(jnp.asarray(rng.standard_normal((B, C)),
+                                             jnp.float32))))
+
+    for fn, xp, yt in cases:
+        loss, g, H = fn(xp, yt)
+
+        def scalar(xi, yi):
+            return fn(xi[None], yi[None], only_loss=True)[0]
+
+        g_auto = jax.vmap(jax.grad(scalar))(xp, yt)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_auto),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=type(fn).__name__)
+        if type(fn).__name__ == "SoftmaxSquaredLoss":
+            continue  # reference uses the Gauss-Newton JtJ approx, not true H
+        H_auto = jax.vmap(jax.jacfwd(jax.grad(scalar)))(xp, yt)
+        H_full = np.asarray(H)
+        if H_full.ndim == 2:  # diagonal form
+            H_auto = np.asarray(jax.vmap(jnp.diag)(
+                jnp.asarray(H_auto)))  # extract diagonal
+            np.testing.assert_allclose(H_full, H_auto, rtol=2e-3, atol=2e-3,
+                                       err_msg=type(fn).__name__)
+        else:
+            np.testing.assert_allclose(H_full, np.asarray(H_auto),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=type(fn).__name__)
+
+
+def test_uncertainty_loss_shapes():
+    rng = np.random.default_rng(1)
+    pred = jnp.asarray(rng.standard_normal((5, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((5,)), jnp.float32)
+    loss, g, H = bregman.UncertaintyAutogradLoss()(pred, y)
+    assert loss.shape == (5,)
+    assert g.shape == (5, 2)
+    assert H.shape == (5, 2, 2)

@@ -1,0 +1,57 @@
+"""Data-parallel tests on the virtual 8-device CPU mesh: sharded sweep equals
+single-device sweep (psum accumulation is exact, SURVEY.md §5.8), and the
+driver entry points compile."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
+from tensornetworksfork_tpu.models.layers import TensorTrainLayer
+from tensornetworksfork_tpu.ops.bregman import SquareBregFunction
+from tensornetworksfork_tpu.parallel.mesh import make_mesh
+
+
+def _data(S=128, f=4, seed=0):
+    rng = np.random.default_rng(seed)
+    X = np.concatenate([rng.standard_normal((S, f - 1)).astype(np.float32),
+                        np.ones((S, 1), np.float32)], axis=1)
+    y = (X[:, 0] * X[:, 1] + X[:, 2]).reshape(S, 1).astype(np.float32)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def test_sharded_sweep_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    X, y = _data()
+    cfg = SweepConfig(num_swipes=2, method="ridge_cholesky", eps=1e-4,
+                      batch_size=32)
+
+    l1 = TensorTrainLayer(2, 4, 4, output_shape=(1,), seed=3)
+    p_single, ok1 = Sweeper(l1.network, SquareBregFunction(), cfg).run(
+        [dict(l1.params)], X, y)
+    assert ok1
+
+    mesh = make_mesh(8)
+    l2 = TensorTrainLayer(2, 4, 4, output_shape=(1,), seed=3)
+    p_mesh, ok2 = Sweeper(l2.network, SquareBregFunction(), cfg).run(
+        [dict(l2.params)], X, y, mesh=mesh)
+    assert ok2
+
+    for k in p_single[0]:
+        np.testing.assert_allclose(np.asarray(p_single[0][k]),
+                                   np.asarray(p_mesh[0][k]),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_graft_entry_forward():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    fn, (params, x) = ge.entry()
+    out = jax.jit(fn)(params, x)
+    assert out.shape == (64, 9)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
