@@ -1,0 +1,106 @@
+"""Flagship benchmark: conv-TT image-model sweep epochs/sec.
+
+Headline config mirrors the reference's MNIST benchmark protocol
+(BASELINE.md: kernel 4 / stride 4 -> 50 patches x 17 pixels incl. bias patch,
+N=4, r=18, CB=8, batch 2048, XE loss with C-1 logits, ridge_cholesky,
+eps 5.0 x 0.25 decay). Data is synthetic at MNIST shapes: sweep-epoch
+wall-clock is content-independent.
+
+vs_baseline: speedup over an independent torch-float64-CPU implementation of
+the reference's algorithm (per-batch environment recomputation + dense
+Gauss-Newton solves, benchmarks/torch_baseline.py), measured at a reduced
+common config and scaled linearly in sample count (the algorithm is linear in
+samples). The reference publishes no timings (SURVEY.md §6), so its own
+computational pattern on the torch stack is the baseline.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=2, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.standard_normal((S, P, pp)), jnp.float32)
+    y = jnp.asarray(np.eye(C + 1, dtype=np.float32)[rng.integers(0, C + 1, S)])
+
+    layer = TensorConvolutionTrainLayer(
+        num_carriages=N, bond_dim=r, num_patches=P, patch_pixels=pp,
+        output_shape=(C,), convolution_bond=CB, seed=seed)
+    cfg = SweepConfig(num_swipes=1, batch_size=batch, method="ridge_cholesky",
+                      eps=5.0, eps_decay=0.25)
+    sweeper = Sweeper(layer.network, XEBregman(w=1.0), cfg)
+
+    # warmup epoch: compiles every per-node update + env program
+    t0 = time.perf_counter()
+    params, ok = sweeper.run([layer.params], X, y)
+    assert ok
+    jax.block_until_ready(next(iter(params[0].values())))
+    compile_s = time.perf_counter() - t0
+    log(f"ours: warmup epoch (incl. compile): {compile_s:.2f}s")
+
+    times = []
+    for e in range(n_epochs):
+        t0 = time.perf_counter()
+        params, ok = sweeper.run(params, X, y)
+        jax.block_until_ready(next(iter(params[0].values())))
+        times.append(time.perf_counter() - t0)
+    log(f"ours: steady epochs: {[f'{t:.3f}' for t in times]}")
+    return min(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small config (CI smoke)")
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.quick:
+        full = dict(N=3, r=8, CB=4, P=50, pp=17, C=9, S=8192, batch=2048)
+    else:
+        # reference headline MNIST config at full data scale (54k train split)
+        full = dict(N=4, r=18, CB=8, P=50, pp=17, C=9, S=53248, batch=2048)
+
+    t_full = our_epoch_seconds(**full)
+    epochs_per_sec = 1.0 / t_full
+    log(f"ours: {t_full:.3f}s/epoch at {full} -> {epochs_per_sec:.4f} epochs/s")
+
+    vs_baseline = None
+    if not args.skip_baseline:
+        # reduced common config for the torch-CPU baseline ratio
+        red = dict(N=full["N"], r=8, CB=4, P=full["P"], pp=full["pp"],
+                   C=full["C"], S=2048, batch=512)
+        t_ours_red = our_epoch_seconds(**red)
+        from benchmarks.torch_baseline import conv_tt_epoch_seconds
+        t0 = time.perf_counter()
+        t_torch_red = conv_tt_epoch_seconds(**red)
+        log(f"baseline: torch-cpu f64 {t_torch_red:.2f}s/epoch at {red} "
+            f"(measured in {time.perf_counter()-t0:.1f}s)")
+        log(f"ours at reduced config: {t_ours_red:.3f}s/epoch")
+        vs_baseline = t_torch_red / t_ours_red
+
+    print(json.dumps({
+        "metric": "convtt_mnist_sweep_epochs_per_sec",
+        "value": round(epochs_per_sec, 4),
+        "unit": "epochs/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

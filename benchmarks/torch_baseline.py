@@ -1,0 +1,160 @@
+"""Reference-semantics torch baseline for the conv-TT sweep benchmark.
+
+An independent, minimal reimplementation of the reference's training
+algorithm — per-batch full environment recomputation + dense Gauss-Newton
+block solve, following the flow of `/root/reference/tensor/network.py:379-608`
+— in plain torch einsums, float64, CPU. Used only by bench.py to produce the
+`vs_baseline` speedup ratio against the reference's computational pattern on
+the torch stack. This is NOT part of the framework.
+
+Model: conv-TT (type-II) with N carriages, bond r, conv bond CB, P patches,
+pp patch pixels, C output logits (carried by core 0). XE loss with appended
+zero logit, analytic softmax grad/Hessian.
+"""
+from __future__ import annotations
+
+import time
+from typing import List
+
+
+def conv_tt_epoch_seconds(N=4, r=8, CB=4, P=50, pp=17, C=9, S=2048,
+                          batch=512, seed=0, eps=1.0) -> float:
+    """Wall-clock seconds for ONE sweep epoch (l2r + r2l over all cores and
+    conv blocks), reference algorithm shape."""
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+    g = torch.Generator().manual_seed(seed)
+    X = torch.randn(S, P, pp, generator=g)
+    y = torch.nn.functional.one_hot(
+        torch.randint(0, C + 1, (S,), generator=g), C + 1).double()
+
+    cores: List[torch.Tensor] = []
+    convs: List[torch.Tensor] = []
+    for i in range(N):
+        rl = 1 if i == 0 else r
+        rr = 1 if i == N - 1 else r
+        c = C if i == 0 else 1
+        cores.append(torch.randn(rl, c, P, rr, generator=g) * 0.1)
+        cl = 1 if i == 0 else CB
+        cr = 1 if i == N - 1 else CB
+        convs.append(torch.randn(cl, pp, cr, generator=g) * 0.1)
+
+    def U(i, xb):  # conv applied to input: (s, p, cb_l, cb_r)
+        return torch.einsum("spq,aqb->spab", xb, convs[i])
+
+    def col(i, xb):  # full column tensor (s, rl, c, rr, cbl, cbr)
+        return torch.einsum("spab,lcpr->slcrab", U(i, xb), cores[i])
+
+    def lenvs(xb):
+        """envs[k] = contraction of columns 0..k-1, shape (s, c, r_k, cb_k)."""
+        envs = [None] * (N + 1)
+        e = col(0, xb)[:, 0, :, :, 0, :]  # (s, c, r, cb)
+        envs[1] = e
+        for k in range(1, N):
+            tk = col(k, xb).squeeze(2)  # (s, r, r', cb, cb')
+            e = torch.einsum("scrb,srtbe->scte", e, tk)
+            envs[k + 1] = e
+        return envs
+
+    def renvs(xb):
+        """envs[k] = contraction of columns k..N-1, shape (s, r_k, cb_k)."""
+        envs = [None] * (N + 1)
+        e = col(N - 1, xb).squeeze(2)[:, :, 0, :, 0]  # (s, r, cb)
+        envs[N - 1] = e
+        for k in range(N - 2, 0, -1):
+            tk = col(k, xb).squeeze(2)
+            e = torch.einsum("srtbe,ste->srb", tk, e)
+            envs[k] = e
+        return envs
+
+    def xe_grad_hess(z, yb):
+        z = torch.cat([z, torch.zeros_like(z[:, :1])], dim=1)
+        s = torch.softmax(z, dim=1)
+        grad = (s - yb)[:, :-1]
+        hess = (torch.diag_embed(s) - torch.einsum("si,sj->sij", s, s))[:, :-1, :-1]
+        return grad, hess
+
+    nb = (S + batch - 1) // batch
+    node_list = [("core", i) for i in range(N)] + [("conv", i) for i in range(N)]
+
+    t_start = time.perf_counter()
+    for direction in (0, 1):
+        order = node_list if direction == 0 else list(reversed(node_list))
+        for kind, i in order:
+            A_out, b_out = None, None
+            for b in range(nb):
+                xb = X[b * batch:(b + 1) * batch]
+                yb = y[b * batch:(b + 1) * batch]
+                le = lenvs(xb)   # reference recomputes stacks per batch
+                re = renvs(xb)
+                if kind == "core":
+                    u = U(i, xb)
+                    if i == 0:
+                        ub = u[:, :, 0, :]                       # (s,p,b)
+                        J = (torch.einsum("spb,srb->spr", ub, re[1])
+                             if N > 1 else ub[:, :, :1])          # (s,p,r)
+                        z = torch.einsum("spr,cpr->sc", J, cores[0][0])
+                        g_, H_ = xe_grad_hess(z, yb)
+                        A = torch.einsum("spr,sqt,scd->cprdqt", J, J, H_)
+                        bb = torch.einsum("spr,sc->cpr", J, g_)
+                    elif i < N - 1:
+                        J = torch.einsum("scib,spbe,sje->scipj",
+                                         le[i], u, re[i + 1])     # (s,c,ri,p,rj)
+                        z = torch.einsum("scipj,ipj->sc", J, cores[i].squeeze(1))
+                        g_, H_ = xe_grad_hess(z, yb)
+                        A = torch.einsum("scipj,sdkql,scd->ipjkql", J, J, H_)
+                        bb = torch.einsum("scipj,sc->ipj", J, g_)
+                    else:
+                        ub = u[:, :, :, 0]                       # (s,p,b)
+                        J = torch.einsum("scib,spb->scip", le[i], ub)
+                        z = torch.einsum("scip,ip->sc", J,
+                                         cores[i][:, 0, :, 0])
+                        g_, H_ = xe_grad_hess(z, yb)
+                        A = torch.einsum("scip,sdjq,scd->ipjq", J, J, H_)
+                        bb = torch.einsum("scip,sc->ip", J, g_)
+                else:
+                    v = torch.einsum("spq,lcpr->sqlcr", xb, cores[i])
+                    if i == 0:
+                        vb = v[:, :, 0, :, :]                    # (s,q,c,r)
+                        J = (torch.einsum("sqcr,srb->scqb", vb, re[1])
+                             if N > 1 else vb.permute(0, 2, 1, 3))  # (s,c,q,b)
+                        z = torch.einsum("scqb,qb->sc", J, convs[0][0])
+                        g_, H_ = xe_grad_hess(z, yb)
+                        A = torch.einsum("scqb,sdpa,scd->qbpa", J, J, H_)
+                        bb = torch.einsum("scqb,sc->qb", J, g_)
+                    elif i < N - 1:
+                        vb = v.squeeze(3)                        # (s,q,l,r)
+                        J = torch.einsum("scla,sqlr,srf->scaqf",
+                                         le[i], vb, re[i + 1])   # (s,c,cbi,q,cbj)
+                        z = torch.einsum("scaqf,aqf->sc", J, convs[i])
+                        g_, H_ = xe_grad_hess(z, yb)
+                        A = torch.einsum("scaqf,sdepg,scd->aqfepg", J, J, H_)
+                        bb = torch.einsum("scaqf,sc->aqf", J, g_)
+                    else:
+                        vb = v.squeeze(3)[:, :, :, 0]            # (s,q,l)
+                        J = torch.einsum("scla,sql->scaq", le[i], vb)
+                        z = torch.einsum("scaq,aq->sc", J, convs[i][:, :, 0])
+                        g_, H_ = xe_grad_hess(z, yb)
+                        A = torch.einsum("scaq,sdbp,scd->aqbp", J, J, H_)
+                        bb = torch.einsum("scaq,sc->aq", J, g_)
+                A_out = A if A_out is None else A_out + A
+                b_out = bb if b_out is None else b_out + bb
+            D = b_out.numel()
+            A_f = A_out.reshape(D, D)
+            scale = A_f.diagonal().abs().mean().clamp_min(1e-30)
+            A_f = A_f / scale + 2.0 * eps * torch.eye(D)
+            rhs = -(b_out.reshape(D, 1) / scale)
+            try:
+                L = torch.linalg.cholesky(A_f)
+                step = torch.cholesky_solve(rhs, L).reshape(b_out.shape)
+                if kind == "core":
+                    if i == 0:
+                        cores[i] = cores[i] + step.reshape(cores[i].shape)
+                    else:
+                        cores[i] = cores[i] + step.reshape(cores[i].shape)
+                else:
+                    convs[i] = convs[i] + step.reshape(convs[i].shape)
+            except Exception:
+                pass
+    return time.perf_counter() - t_start

@@ -169,6 +169,50 @@ class Sweeper:
         return net.env_keep(tuple(range(ci, ncols)))
 
     # ----------------------------------------------------------- jit: update
+    def _jit_update_standalone(self, mid: int, ni: int, method: str):
+        """Full-batch update for networks with NO runtime inputs (e.g.
+        CompressedTensorTrainLayer, whose design tensor is baked in as
+        constant TT blocks with the sample axis as the last bond — reference
+        layers.py:1420-1547). The jacobian contracts all nodes but ni
+        directly; no chunking or environment carrying."""
+        key = ("upds", mid, ni, method)
+        if key in self._jits:
+            return self._jits[key]
+        cfg = self.cfg
+        net = self.members[mid].net
+        t = net.topology
+        name = t.nodes[ni].name
+        spec = t.nodes[ni]
+        loss_fn = self.loss_fn
+
+        def fn(params, y, w, eps):
+            core = params[name]
+            mask = None
+            if spec.cpd_mask:
+                mask = cpd_diag_mask(core.shape, spec.labels, spec.left,
+                                     spec.right, core.dtype)
+            y_f = y.reshape((-1,) + y.shape[2:])
+            w_f = w.reshape(-1)
+            ops = [net.operand(nj, params, {})
+                   for nj in range(len(t.nodes)) if nj != ni]
+            keep = net.jacobian_keep(ni, ops)
+            from .contract import contract as _contract
+            J = (keep, _contract(ops, keep, net.precision))
+            pred = net.predict_from_jacobian(ni, J, core)
+            loss, g, H = loss_fn(pred, y_f)
+            wl = w_f.astype(loss.dtype)
+            loss = loss * wl
+            g = g * w_f.astype(g.dtype).reshape((-1,) + (1,) * (g.ndim - 1))
+            H = H * w_f.astype(H.dtype).reshape((-1,) + (1,) * (H.ndim - 1))
+            A, b = net.gram_and_rhs(ni, J, g, H)
+            step, ok = solve_block(A, b, core, method, eps, cfg.refine)
+            new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
+                                    cfg.max_norm, mask)
+            return new_core, loss.sum(), ok
+
+        self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
     def _jit_update(self, mid: int, ni: int, method: str, use_rest: bool,
                     return_pred: bool, B: int):
         key = ("upd", mid, ni, method, use_rest, return_pred, B)
@@ -547,6 +591,39 @@ class Sweeper:
                 if cfg.verbose > 0:
                     print(f"Timeout reached ({cfg.timeout} s). Stopping sweep.")
                 return False, False, last_other
+
+            if not t.input_nodes:
+                # input-less network (baked-in data): standalone full-batch path
+                eps = self._eps_for(NS, i, n_nodes, reverse=False)
+                method = cfg.method
+                if eps == 0 and method == "ridge_exact":
+                    method = "exact"
+                if use_rest:
+                    raise NotImplementedError(
+                        "input-less members inside sums are not supported")
+                upd = self._jit_update_standalone(mi, ni, method)
+                new_core, loss_sum, ok = upd(params_list[mi], data["y"],
+                                             data["w"],
+                                             jnp.asarray(eps, jnp.float32))
+                if not bool(ok):
+                    if cfg.verbose > 0:
+                        print(f"Singular system for node {t.nodes[ni].name}")
+                    return False, False, last_other
+                name = t.nodes[ni].name
+                params_list[mi] = dict(params_list[mi], **{name: new_core})
+                last_other = (mi, ci)
+                avg_loss = float(loss_sum) / S if loss_callback or cfg.verbose > 1 else None
+                if cfg.verbose > 1:
+                    print(f"NS: {NS}, loss ({name}): {avg_loss} (eps: {eps})")
+                if loss_callback is not None:
+                    loss_callback(NS, name, avg_loss)
+                if convergence_criterion is not None and convergence_criterion():
+                    if block_callback is not None:
+                        block_callback(NS, name)
+                    return True, True, last_other
+                if block_callback is not None:
+                    block_callback(NS, name)
+                continue
 
             ensure_run(i, mi)
             d = cur_dir[mi]

@@ -517,3 +517,388 @@ def _slice_adapter(net: Network):
         return inputs
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Generic operator-sandwich TT (reference TensorOperatorLayer[Deprecated],
+# layers.py:683-788): input -> MPO operator row -> TT spine. Used for the
+# cumsum/symmetric operator studies (cum_sum_operator.py, symmetric_operator.py).
+# ---------------------------------------------------------------------------
+
+class OperatorTTLayer(TNLayer):
+    def __init__(self, operator, input_features: int, bond_dim: int,
+                 num_carriages: int, output_shape=1, ring: bool = False,
+                 left=None, right=None, constrict_bond: bool = True,
+                 train_operator: bool = False, dtype=jnp.float32, seed: int = 0):
+        N, f, r = num_carriages, input_features, bond_dim
+        output_shape = output_shape if isinstance(output_shape, tuple) else (output_shape,)
+        b = TopologyBuilder()
+        ops = []
+        for i in range(N):
+            if isinstance(operator, (list, tuple)):
+                O = np.asarray(operator[i])
+            elif ring:
+                O = np.asarray(operator)
+            elif i == 0 and left is not None:
+                O = np.asarray(left)
+            elif i == N - 1 and right is not None:
+                O = np.asarray(right)
+            elif i == 0:
+                O = np.asarray(operator)[:1]
+            elif i == N - 1:
+                O = np.asarray(operator)[..., -1:]
+            else:
+                O = np.asarray(operator)
+            ops.append(O)
+
+        profile = tt_rank_profile(N, 1 if N == 1 else r, f, constrict_bond)
+        out_labels = ["s"]
+        for i in range(1, N + 1):
+            O = ops[i - 1]
+            bl = "br" if ring and i == 1 else f"b{i}"
+            br = "br" if ring and i == N else f"b{i+1}"
+            b.node(f"O{i}", (bl, f"u{i}", f"d{i}", br), O.shape,
+                   kind=PARAM if train_operator else CONST,
+                   left=(bl,), right=(br,), init=O)
+            b.node(f"X{i}", ("s", f"d{i}"), (None, f), kind=INPUT)
+            b.connect(f"O{i}", f"d{i}", f"X{i}")
+            if i > 1:
+                b.connect(f"O{i-1}", f"b{i}" if not (ring and i == N + 1) else "br", f"O{i}")
+            lab_l = "rr" if ring and i == 1 else f"r{i}"
+            lab_r = "rr" if ring and i == N else f"r{i+1}"
+            if i - 1 < len(output_shape):
+                up, up_label = output_shape[i - 1], f"c{i}"
+                out_labels.append(up_label)
+            else:
+                up, up_label = 1, "c"
+            lft, rgt = profile[i - 1]
+            if ring:
+                lft = rgt = r
+            b.node(f"A{i}", (lab_l, up_label, f"u{i}", lab_r), (lft, up, O.shape[1], rgt),
+                   kind=PARAM, left=(lab_l,), right=(lab_r,))
+            b.connect(f"A{i}", f"u{i}", f"O{i}")
+            if i > 1:
+                b.connect(f"A{i-1}", lab_l, f"A{i}")
+        if ring and N > 1:
+            b.connect(f"A{N}", "rr", "A1")
+            b.connect(f"O{N}", "br", "O1")
+        for i in range(1, N + 1):
+            b.squeeze(f"A{i}", exclude=out_labels)
+            b.squeeze(f"O{i}")
+        topo = b.finalize([f"X{i}" for i in range(1, N + 1)],
+                          [f"A{i}" for i in range(1, N + 1)],
+                          output_labels=tuple(out_labels))
+        super().__init__(Network(topo), topo.init_params(seed, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Complex TT (reference ComplexTensorTrainLayer, layers.py:1210-1285)
+# ---------------------------------------------------------------------------
+
+class ComplexTensorTrainLayer(TensorTrainLayer):
+    def __init__(self, num_carriages, bond_dim, input_features, output_shape=(),
+                 constrict_bond=True, seed=0):
+        super().__init__(num_carriages, bond_dim, input_features,
+                         output_shape=output_shape, constrict_bond=constrict_bond,
+                         perturb=False, dtype=jnp.complex64, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dim inputs split across consecutive cores (reference
+# TensorTrainSplitInputLayer, layers.py:1144-1208): each wagon holds one input
+# tensor of shape input_shape whose axes feed num_input_dims consecutive
+# cores; wagon-internal bonds r, wagon-to-wagon (axle) bonds axle_bond.
+# ---------------------------------------------------------------------------
+
+class TensorTrainSplitInputLayer(TNLayer):
+    def __init__(self, num_wagons: int, bond_dim: int, input_shape=(),
+                 output_shape=(), axle_bond: int = 1, dtype=jnp.float32,
+                 seed: int = 0):
+        d = len(input_shape)
+        output_shape = output_shape if isinstance(output_shape, tuple) else (output_shape,)
+        b = TopologyBuilder()
+        out_labels = ["s"]
+        names = []
+        for i in range(num_wagons):
+            b.node(f"X{i}", ("s",) + tuple(f"I{i*d+j}" for j in range(d)),
+                   (None,) + tuple(input_shape), kind=INPUT)
+            for j in range(d):
+                idx = i * d + j
+                if idx < len(output_shape):
+                    up, up_label = output_shape[idx], f"c{idx}"
+                    out_labels.append(up_label)
+                else:
+                    up, up_label = 1, "c"
+                first = (i == 0 and j == 0)
+                last = (i == num_wagons - 1 and j == d - 1)
+                lft = 1 if first else (axle_bond if j == 0 else bond_dim)
+                rgt = 1 if last else (axle_bond if j == d - 1 else bond_dim)
+                name = f"A{idx}"
+                b.node(name, (f"r{idx}", up_label, f"I{idx}", f"r{idx+1}"),
+                       (lft, up, input_shape[j], rgt), kind=PARAM,
+                       left=(f"r{idx}",), right=(f"r{idx+1}",))
+                b.connect(name, f"I{idx}", f"X{i}")
+                if names:
+                    b.connect(names[-1], f"r{idx}", name)
+                names.append(name)
+        for name in names:
+            b.squeeze(name, exclude=out_labels)
+        topo = b.finalize([f"X{i}" for i in range(num_wagons)], names,
+                          output_labels=tuple(out_labels))
+        super().__init__(Network(topo), topo.init_params(seed, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Multi-layer grid (PEPS-like) conv model (reference
+# TensorConvolutionGridTrainLayer, layers.py:949-1075): num_layers x
+# num_carriages cores with horizontal bonds r/lin_bond and vertical bonds
+# lin_dim; only the top layer carries outputs; bottom layer reads patches.
+# ---------------------------------------------------------------------------
+
+class TensorConvolutionGridTrainLayer(TNLayer):
+    def __init__(self, num_carriages: int, num_layers: int, bond_dim: int,
+                 lin_dim: int, lin_bond: int, num_patches: int,
+                 patch_pixels: int, output_shape=(), convolution_bond: int = -1,
+                 dtype=jnp.float32, seed: int = 0):
+        output_shape = output_shape if isinstance(output_shape, tuple) else (output_shape,)
+        NC, NL = num_carriages, num_layers
+        b = TopologyBuilder()
+        out_labels = ["s"]
+        for i in range(1, NC + 1):
+            b.node(f"X{i}", ("s", "patches", "patch_pixels"),
+                   (None, num_patches, patch_pixels), kind=INPUT)
+            if convolution_bond > 0:
+                cb_l = 1 if i == 1 else convolution_bond
+                cb_r = 1 if i == NC else convolution_bond
+                b.node(f"C{i}", (f"CB{i}", "patch_pixels", f"CB{i+1}"),
+                       (cb_l, patch_pixels, cb_r), kind=PARAM,
+                       left=(f"CB{i}",), right=(f"CB{i+1}",))
+            else:
+                b.node(f"C{i}", ("patch_pixels",), (patch_pixels,), kind=PARAM)
+            b.connect(f"C{i}", "patch_pixels", f"X{i}")
+            if convolution_bond > 0 and i > 1:
+                b.connect(f"C{i-1}", f"CB{i}", f"C{i}")
+
+        all_nodes = []
+        for l in range(NL):
+            top = (l == NL - 1)
+            hb = bond_dim if top else lin_bond
+            for i in range(1, NC + 1):
+                if top and i - 1 < len(output_shape):
+                    cdim, clab = output_shape[i - 1], f"c{i}"
+                    out_labels.append(clab)
+                else:
+                    cdim, clab = 1, "c"
+                lft = 1 if i == 1 else max(hb, 1)
+                rgt = 1 if i == NC else max(hb, 1)
+                labels = [f"v{l}_{i}", f"r{l}_{i}", clab, f"r{l}_{i+1}",
+                          f"v{l+1}_{i}"]
+                vb_down = 1 if l == 0 else lin_dim
+                vb_up = lin_dim if l < NL - 1 else 1
+                if l == 0:
+                    labels.insert(3, "patches")
+                    shape = (vb_down, lft, cdim, num_patches, rgt, vb_up)
+                else:
+                    shape = (vb_down, lft, cdim, rgt, vb_up)
+                name = f"A{l}_{i}"
+                b.node(name, tuple(labels), shape, kind=PARAM,
+                       left=(f"r{l}_{i}",), right=(f"r{l}_{i+1}",))
+                all_nodes.append(name)
+                if l == 0:
+                    b.connect(name, "patches", f"X{i}")
+                else:
+                    b.connect(f"A{l-1}_{i}", f"v{l}_{i}", name)
+                if i > 1 and (hb > 0 or top):
+                    b.connect(f"A{l}_{i-1}", f"r{l}_{i}", name)
+        for name in all_nodes:
+            b.squeeze(name, exclude=out_labels)
+        for i in range(1, NC + 1):
+            b.squeeze(f"C{i}")
+        main = [f"A{NL-1}_{i}" for i in range(1, NC + 1)]
+        # train order: column-major bottom-to-top (reference layers.py:1058-1063)
+        train = []
+        for i in range(1, NC + 1):
+            train.append(f"C{i}")
+            for l in range(NL):
+                train.append(f"A{l}_{i}")
+        topo = b.finalize([f"X{i}" for i in range(1, NC + 1)], main,
+                          train_nodes=train, output_labels=tuple(out_labels))
+        super().__init__(Network(topo), topo.init_params(seed, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Conv -> input -> per-position operator matrix -> TT (reference
+# TensorConvOperatorLayer, layers.py:1287-1418)
+# ---------------------------------------------------------------------------
+
+class TensorConvOperatorLayer(TNLayer):
+    """Conv block x fixed operator feature map x TT over patches.
+
+    The reference version (layers.py:1287-1418) connects the conv block to a
+    'patch_pixels' label the input node doesn't carry, which silently sums
+    the conv block out. Here the coherent reading is implemented: the input's
+    pixel axis, the operator's input leg, and the conv block's pixel axis are
+    ONE hyperedge, i.e. per patch out = sum_q X[s,p,q] C[a,q,b] O[q,u] — a
+    conv-modulated operator feature map. Requires patch_pixels ==
+    operator.shape[0].
+    """
+
+    def __init__(self, operator, input_features: int, bond_dim: int,
+                 num_carriages: int, num_patches: int, patch_pixels: int,
+                 output_shape=(), convolution_bond: int = -1,
+                 dtype=jnp.float32, seed: int = 0):
+        N = num_carriages
+        output_shape = output_shape if isinstance(output_shape, tuple) else (output_shape,)
+        op0 = np.asarray(operator[0] if isinstance(operator, (list, tuple))
+                         else operator)
+        if patch_pixels != op0.shape[0]:
+            raise ValueError("patch_pixels must equal the operator input dim")
+        b = TopologyBuilder()
+        out_labels = ["s"]
+        for i in range(N):
+            if convolution_bond > 0:
+                cl = 1 if i == 0 else convolution_bond
+                cr = 1 if i == N - 1 else convolution_bond
+                b.node(f"C{i}", (f"CB{i+1}", f"q{i}", f"CB{i+2}"),
+                       (cl, patch_pixels, cr), kind=PARAM,
+                       left=(f"CB{i+1}",), right=(f"CB{i+2}",))
+                if i > 0:
+                    b.connect(f"C{i-1}", f"CB{i+1}", f"C{i}")
+            else:
+                b.node(f"C{i}", (f"q{i}",), (patch_pixels,), kind=PARAM)
+            b.node(f"X{i}", ("s", "patches", f"q{i}"),
+                   (None, num_patches, patch_pixels), kind=INPUT)
+            O = np.asarray(operator[i] if isinstance(operator, (list, tuple))
+                           else operator)
+            b.node(f"O{i}", (f"q{i}", f"u{i}"), O.shape, kind=CONST, init=O)
+            out_dim = output_shape[i] if i < len(output_shape) else 1
+            b.node(f"A{i}", (f"r{i+1}", f"c{i+1}", "patches", f"u{i}", f"r{i+2}"),
+                   (1 if i == 0 else bond_dim, out_dim, num_patches,
+                    O.shape[1], 1 if i == N - 1 else bond_dim), kind=PARAM,
+                   left=(f"r{i+1}",), right=(f"r{i+2}",))
+            out_labels.append(f"c{i+1}")
+            # hyperedge: input pixels x conv pixels x operator input leg
+            b.tie([(f"X{i}", f"q{i}"), (f"C{i}", f"q{i}"), (f"O{i}", f"q{i}")])
+            b.connect(f"O{i}", f"u{i}", f"A{i}")
+            b.connect(f"X{i}", "patches", f"A{i}")
+            if i > 0:
+                b.connect(f"A{i-1}", f"r{i+1}", f"A{i}")
+        for i in range(N):
+            b.squeeze(f"A{i}", exclude=out_labels)
+            b.squeeze(f"C{i}")
+        # size-1 output labels are kept (reference keeps all c{i})
+        topo = b.finalize([f"X{i}" for i in range(N)],
+                          [f"A{i}" for i in range(N)],
+                          output_labels=tuple(out_labels))
+        super().__init__(Network(topo), topo.init_params(seed, dtype))
+
+
+# ---------------------------------------------------------------------------
+# TT over TT-compressed design-matrix blocks (reference
+# CompressedTensorTrainLayer, layers.py:1420-1547): input nodes are the data
+# TT blocks (k_i, p_i, d, k_{i+1}); the last block's right bond IS the sample
+# axis.
+# ---------------------------------------------------------------------------
+
+class CompressedTensorTrainLayer(TNLayer):
+    def __init__(self, data_blocks, bond_dim: int, output_shape=(),
+                 constrict_bond: bool = True, perturb: bool = False,
+                 dtype=jnp.float32, seed: int = 0):
+        N = len(data_blocks)
+        output_shape = output_shape if isinstance(output_shape, tuple) else (output_shape,)
+        phys = [int(blk.shape[1]) for blk in data_blocks]
+        b = TopologyBuilder()
+        rng = np.random.default_rng(seed)
+        if perturb:
+            inits = []
+            prev = 1
+            for i in range(N):
+                rr = 1 if i == N - 1 else bond_dim
+                cap = min(bond_dim, prev * phys[i]) if constrict_bond else bond_dim
+                rr = 1 if i == N - 1 else cap
+                inits.append(perturb_block(prev, phys[i], rr, rng,
+                                           0.02 if i in (0, N - 1) else 0.0))
+                prev = rr
+            profile = [(a.shape[0], a.shape[-1]) for a in inits]
+        else:
+            profile = tt_rank_profile(N, 1 if N == 1 else bond_dim, phys,
+                                      constrict_bond)
+            inits = [None] * N
+
+        out_labels = ["s"]
+        for i in range(1, N + 1):
+            blk = np.asarray(data_blocks[i - 1])
+            last = i == N
+            labels = (f"k{i}", f"p{i}", "d", f"k{i+1}" if not last else "s")
+            b.node(f"X{i}", labels, blk.shape, kind=CONST, init=blk,
+                   left=(f"k{i}",), right=(f"k{i+1}",) if not last else ())
+            if i > 1:
+                b.connect(f"X{i-1}", f"k{i}", f"X{i}")
+            lft, rgt = profile[i - 1]
+            if i - 1 < len(output_shape):
+                up, up_label = output_shape[i - 1], f"c{i}"
+                out_labels.append(up_label)
+            else:
+                up, up_label = 1, "c"
+            b.node(f"A{i}", (f"r{i}", up_label, f"p{i}", f"r{i+1}"),
+                   (lft, up, phys[i - 1], rgt), kind=PARAM,
+                   left=(f"r{i}",), right=(f"r{i+1}",), init=inits[i - 1])
+            b.connect(f"A{i}", f"p{i}", f"X{i}")
+            if i > 1:
+                b.connect(f"A{i-1}", f"r{i}", f"A{i}")
+        for i in range(1, N + 1):
+            b.squeeze(f"A{i}", exclude=out_labels)
+            b.squeeze(f"X{i}", exclude=("s",))
+        topo = b.finalize([], [f"A{i}" for i in range(1, N + 1)],
+                          output_labels=tuple(out_labels))
+        super().__init__(Network(topo), topo.init_params(seed, dtype))
+
+
+def concatenate_trains(tensor_layers):
+    """Direct-sum several TTs into one (block-diagonal bond concat), averaged
+    (reference concatenate_trains, layers.py:345-365)."""
+    from ..ops.compression import train_concat
+
+    def blocks_of(layer):
+        N = layer.num_carriages
+        blocks = []
+        for i in range(1, N + 1):
+            arr = np.asarray(layer.params[f"A{i}"])
+            # normalise to (rl, c, p, rr)
+            if i == 1:
+                arr = arr[None] if arr.ndim < 4 else arr
+            if arr.ndim == 2:  # (r, p) last core squeezed
+                arr = arr[:, None, :, None]
+            elif arr.ndim == 3:
+                if i == 1:        # (c, p, r)
+                    arr = arr[None]
+                elif i == N:      # (r, p) + c? -> (r, c?, p)
+                    arr = arr[:, None, :, None] if arr.shape[-1] != 1 else arr[..., None]
+                else:             # (r, p, r')
+                    arr = arr[:, None]
+            blocks.append(jnp.asarray(arr.reshape(arr.shape[0], -1, 1,
+                                                  arr.shape[-1])))
+        return blocks
+
+    first = blocks_of(tensor_layers[0])
+    train = first
+    for layer in tensor_layers[1:]:
+        train = train_concat(train, blocks_of(layer))
+    train[0] = train[0] / len(tensor_layers)
+
+    N = len(train)
+    f = tensor_layers[0].input_features
+    out_shape = tensor_layers[0].output_shape
+    out_dim = out_shape[0] if out_shape else 1
+    new = TensorTrainLayer(N, max(b.shape[0] for b in train), f,
+                           output_shape=out_shape, constrict_bond=False,
+                           seed=0)
+    params = {}
+    for i, blk in enumerate(train, 1):
+        arr = np.asarray(blk)  # (rl, c*p, 1, rr)
+        arr = arr.reshape(arr.shape[0], out_dim if i == 1 else 1, f,
+                          arr.shape[-1])
+        tgt_shape = np.asarray(new.params[f"A{i}"]).shape
+        params[f"A{i}"] = jnp.asarray(arr.reshape(tgt_shape))
+    new.params = params
+    return new

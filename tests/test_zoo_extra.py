@@ -1,0 +1,180 @@
+"""Extended zoo tests: DMRG growing (grow_middle/split_node round trip),
+conv grow_cart forward preservation, operator sandwich, split-input, grid,
+complex TT, compressed-data TT, concatenate_trains."""
+import numpy as np
+import jax.numpy as jnp
+
+from tensornetworksfork_tpu.core.sweep import SweepConfig, accumulating_sweep
+from tensornetworksfork_tpu.models import growing
+from tensornetworksfork_tpu.models.layers import (
+    ComplexTensorTrainLayer, CompressedTensorTrainLayer, OperatorTTLayer,
+    TensorConvolutionGridTrainLayer, TensorConvolutionTrainLayer,
+    TensorConvOperatorLayer, TensorTrainLayer, TensorTrainSplitInputLayer,
+    concatenate_trains, cum_sum_operator,
+)
+from tensornetworksfork_tpu.ops.bregman import (
+    SquareBregFunction, SquareComplexBregFunction,
+)
+from tensornetworksfork_tpu.ops.compression import DataCompression, train_compress
+
+
+def test_dmrg_grow_and_split():
+    rng = np.random.default_rng(0)
+    layer = growing.TensorTrainDMRGInfiLayer(4, 3, output_shape=(1,), seed=0)
+    assert layer.num_carriages == 2
+    X = rng.standard_normal((8, 2, 3)).astype(np.float32)
+    y0 = np.asarray(layer(layer.bind_x(jnp.asarray(X))))
+    assert y0.shape == (8, 1)
+
+    layer.grow_middle()
+    # the grown 2-site block adds two physical positions
+    assert layer.num_carriages == 4
+    assert len(layer.topology.train_nodes) == 1  # only the grown block
+    X4 = rng.standard_normal((8, 4, 3)).astype(np.float32)
+    y1 = layer(layer.bind_x(jnp.asarray(X4)))
+    assert y1.shape == (8, 1)
+
+    # split back: forward must be preserved up to truncation error (full rank)
+    before = np.asarray(layer(layer.bind_x(jnp.asarray(X4))))
+    err = layer.split_node(rank=16)  # full rank: no truncation
+    after = np.asarray(layer(layer.bind_x(jnp.asarray(X4))))
+    assert layer.num_carriages == 4
+    assert len(layer._cores) == 4
+    np.testing.assert_allclose(after, before, rtol=1e-3, atol=1e-3)
+
+
+def test_dmrg_training_loop():
+    """grow -> sweep -> split on a synthetic polynomial reduces loss."""
+    rng = np.random.default_rng(1)
+    S, f = 256, 4
+    X2 = rng.standard_normal((S, 2, f)).astype(np.float32)
+    X2[..., -1] = 1.0
+    y = (X2[:, 0, 0] * X2[:, 1, 1]).reshape(S, 1).astype(np.float32)
+    layer = growing.TensorTrainDMRGInfiLayer(4, f, output_shape=(1,), seed=1)
+    cfg = SweepConfig(num_swipes=4, method="ridge_cholesky", eps=1e-4)
+    params, ok = accumulating_sweep(
+        layer.network, layer.params, layer.bind_x(jnp.asarray(X2)),
+        jnp.asarray(y), SquareBregFunction(), cfg)
+    assert ok
+    layer.params = params
+    pred = np.asarray(layer(layer.bind_x(jnp.asarray(X2))))
+    assert float(np.sqrt(np.mean((pred - y) ** 2))) < 0.1
+
+
+def test_grow_cart_preserves_prefix():
+    layer = TensorConvolutionTrainLayer(2, 3, 5, 6, output_shape=(2,),
+                                        convolution_bond=2, seed=0)
+    grown = growing.grow_cart(layer, new_bond=3, new_convolution_bond=2)
+    assert grown.num_carriages == 3
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 5, 6)),
+                    jnp.float32)
+    y = grown(x)
+    assert y.shape == (4, 2)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_operator_tt_layer_cumsum_equivalence():
+    """OperatorTTLayer with the cumsum MPO behaves like CumSumLayer
+    structure: forward is finite and operator nodes are constants."""
+    f, N, r = 3, 2, 3
+    mid = cum_sum_operator(1, 4, f)  # generic middle operator (f,f,f,f)
+    left = cum_sum_operator(0, N, f)
+    right = cum_sum_operator(N - 1, N, f)
+    layer = OperatorTTLayer(mid, f, r, N, output_shape=(1,),
+                            left=left, right=right, seed=0)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((5, f)), jnp.float32)
+    y = layer(x)
+    assert y.shape == (5, 1)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_split_input_layer():
+    layer = TensorTrainSplitInputLayer(2, 3, input_shape=(3, 4),
+                                       output_shape=(2,), axle_bond=2, seed=0)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((6, 3, 4)),
+                    jnp.float32)
+    y = layer([x, x])
+    assert y.shape == (6, 2)
+
+
+def test_grid_layer_trains():
+    layer = TensorConvolutionGridTrainLayer(
+        num_carriages=2, num_layers=2, bond_dim=3, lin_dim=2, lin_bond=2,
+        num_patches=4, patch_pixels=5, output_shape=(2,), convolution_bond=2,
+        seed=0)
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((32, 4, 5)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((32, 2)), jnp.float32)
+    out = layer(X)
+    assert out.shape == (32, 2)
+    params, ok = accumulating_sweep(
+        layer.network, layer.params, X, y, SquareBregFunction(),
+        SweepConfig(num_swipes=1, method="ridge_cholesky", eps=1e-2))
+    assert ok
+
+
+def test_complex_tt():
+    layer = ComplexTensorTrainLayer(2, 3, 3, output_shape=(1,), seed=0)
+    rng = np.random.default_rng(4)
+    Xn = rng.standard_normal((64, 3)).astype(np.complex64)
+    M = (rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))).astype(np.complex64)
+    yn = np.einsum("si,ij,sj->s", Xn, M, Xn).reshape(-1, 1)
+    X, y = jnp.asarray(Xn), jnp.asarray(yn)
+    out = layer(X)
+    assert out.dtype == jnp.complex64
+    params, ok = accumulating_sweep(
+        layer.network, layer.params, X, y, SquareComplexBregFunction(),
+        SweepConfig(num_swipes=6, method="ridge_exact", eps=1e-5))
+    assert ok
+    pred = np.asarray(layer.network.forward(params, layer.network.bind_inputs(X)))
+    rel = np.sqrt(np.mean(np.abs(pred - yn) ** 2)) / np.sqrt(np.mean(np.abs(yn) ** 2))
+    assert rel < 0.05, rel
+
+
+def test_conv_operator_layer():
+    pp, u = 5, 3
+    op = np.random.default_rng(5).standard_normal((pp, u)).astype(np.float32)
+    layer = TensorConvOperatorLayer(op, pp, 3, 2, num_patches=4,
+                                    patch_pixels=pp, output_shape=(2,),
+                                    convolution_bond=2, seed=0)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((6, 4, pp)),
+                    jnp.float32)
+    y = layer(x)
+    assert y.shape[:2] == (6, 2)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_compressed_tt_layer_trains():
+    """TT over TT-compressed degree-2 design tensor fits a quadratic."""
+    rng = np.random.default_rng(7)
+    S, f = 64, 4
+    X = np.concatenate([rng.standard_normal((S, f - 1)).astype(np.float32),
+                        np.ones((S, 1), np.float32)], axis=1)
+    y = (X[:, 0] * X[:, 1]).reshape(S, 1).astype(np.float32)
+    comp = DataCompression(X)
+    blocks = comp.non_compressed(degree=2)
+    blocks, _ = train_compress(list(blocks), rank=16)
+    layer = CompressedTensorTrainLayer(blocks, bond_dim=4,
+                                       output_shape=(1,), seed=0)
+    # no runtime inputs: the data TT is baked in as constants
+    out = layer({})
+    assert out.shape[0] == S
+    params, ok = accumulating_sweep(
+        layer.network, layer.params, {}, jnp.asarray(y),
+        SquareBregFunction(),
+        SweepConfig(num_swipes=6, method="ridge_cholesky", eps=1e-5))
+    assert ok
+    pred = np.asarray(layer.network.forward(params, {}))
+    assert float(np.sqrt(np.mean((pred - y) ** 2))) < 0.1
+
+
+def test_concatenate_trains():
+    f = 4
+    l1 = TensorTrainLayer(2, 3, f, output_shape=(1,), constrict_bond=False, seed=0)
+    l2 = TensorTrainLayer(2, 3, f, output_shape=(1,), constrict_bond=False, seed=1)
+    merged = concatenate_trains([l1, l2])
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((5, f)), jnp.float32)
+    y1 = np.asarray(l1(x))
+    y2 = np.asarray(l2(x))
+    ym = np.asarray(merged(x))
+    np.testing.assert_allclose(ym, (y1 + y2) / 2, rtol=1e-3, atol=1e-3)
