@@ -128,7 +128,9 @@ class Sweeper:
 
     # ------------------------------------------------------------- jit: envs
     # All env arrays are chunked (nchunks, B, ...): the per-batch env
-    # computation is vmapped over the chunk axis.
+    # computation runs under lax.scan over the chunk axis. scan (not vmap!)
+    # keeps the per-chunk contraction intermediates transient — vmap would
+    # batch them across the whole dataset and OOM at flagship scale.
     def _jit_far_envs(self, mid: int, direction: str):
         key = ("far", mid, direction)
         if key not in self._jits:
@@ -138,7 +140,14 @@ class Sweeper:
                 envs = net.env_chain(params, inputs, direction)
                 return tuple(e[1] for e in envs)
 
-            self._jits[key] = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+            def fn(params, inputs):
+                def body(_, x_c):
+                    return None, one(params, x_c)
+
+                _, envs = jax.lax.scan(body, None, inputs)
+                return envs
+
+            self._jits[key] = jax.jit(fn)
         return self._jits[key]
 
     def _jit_advance(self, mid: int, ci: int, direction: str, has_prev: bool):
@@ -157,8 +166,16 @@ class Sweeper:
                 prev_op = (prev_axes, prev) if has_prev else None
                 return net.env_step(prev_op, ci, params, inputs, cols)[1]
 
-            self._jits[key] = jax.jit(
-                jax.vmap(one, in_axes=(None, 0 if has_prev else None, 0)))
+            def fn(params, prev, inputs):
+                def body(_, piece):
+                    p_c, x_c = piece
+                    return None, one(params, p_c, x_c)
+
+                # prev=None is an empty pytree -> p_c arrives as None
+                _, envs = jax.lax.scan(body, None, (prev, inputs))
+                return envs
+
+            self._jits[key] = jax.jit(fn)
         return self._jits[key]
 
     def _env_axes(self, mid: int, side: str, ci: int):

@@ -1,0 +1,196 @@
+"""Canonical image benchmark: conv-TT (type-I/II) on MNIST-format data.
+
+Rebuilds the reference's AAMNST benchmark driver (`/root/reference/AAMNST.py`):
+env-var configuration, 90/10 validation split, type-I sum of conv-TT members
+(members > 1 drop the bias patch row/pixel col), XE loss with logit-scale
+calibration w = 1/std(initial forward), early stopping with best-state
+restore, test accuracy appended to a results CSV.
+
+Data: local MNIST/FashionMNIST idx or npz under DATA_PATH; falls back to
+shape-faithful synthetic data when unavailable (zero-egress environment).
+
+Run:  DATASET=MNIST N=4 R=18 CB=8 python -m tensornetworksfork_tpu.experiments.train_image
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.sweep import Member, SweepConfig, Sweeper
+from ..data.images import (load_mnist_like, preprocess_images,
+                           synthetic_image_classification)
+from ..models.estimators import EarlyStopping, error_rate
+from ..models.layers import SumLayer, TensorConvolutionTrainLayer
+from ..ops.bregman import XEBregman
+from ..utils.metrics import accuracy, append_results_csv
+from ..utils.timing import Timer
+
+
+def get_config_from_env():
+    """Reference get_config_from_env (AAMNST.py:32-66)."""
+    e = os.environ.get
+    return {
+        "dataset": e("DATASET", "MNIST"),
+        "data_path": e("DATA_PATH", "data/" + e("DATASET", "MNIST")),
+        "model_type": e("MODEL_TYPE", "tt_type1"),
+        "N": int(e("N", "4")),
+        "r": int(e("R", "10")),
+        "CB": int(e("CB", "4")),
+        "seed": int(e("SEED", "42")),
+        "kernel_size": int(e("KERNEL_SIZE", "4")),
+        "kernel_stride": int(e("KERNEL_STRIDE", "4")),
+        "num_swipes": int(e("NUM_SWIPES", "5")),
+        "eps": float(e("EPS", "5.0")),
+        "eps_decay": float(e("EPS_DECAY", "0.25")),
+        "batch_size": int(e("BATCH_SIZE", "2048")),
+        "early_stopping": int(e("EARLY_STOPPING", "10")),
+        "abs_err": float(e("ABS_ERR", "1e-4")),
+        "rel_err": float(e("REL_ERR", "1e-3")),
+        "validation_split": float(e("VALIDATION_SPLIT", "0.1")),
+        "verbose": int(e("VERBOSE", "1")),
+        "results_file": e("RESULTS_FILE", "results/image_results.csv"),
+        "synthetic_samples": int(e("SYNTHETIC_SAMPLES", "8192")),
+    }
+
+
+def load_data(config):
+    try:
+        xtr, ytr, xte, yte = load_mnist_like(config["data_path"])
+        xin_tr, y_tr = preprocess_images(xtr, ytr, config["kernel_size"],
+                                         config["kernel_stride"])
+        xin_te, y_te = preprocess_images(xte, yte, config["kernel_size"],
+                                         config["kernel_stride"])
+        synthetic = False
+    except FileNotFoundError:
+        if config["verbose"]:
+            print("no local image data found; using synthetic stand-in",
+                  file=sys.stderr)
+        S = config["synthetic_samples"]
+        xin_tr, y_tr = synthetic_image_classification(
+            S, kernel_size=config["kernel_size"],
+            kernel_stride=config["kernel_stride"], seed=config["seed"])
+        xin_te, y_te = synthetic_image_classification(
+            max(S // 6, 512), kernel_size=config["kernel_size"],
+            kernel_stride=config["kernel_stride"], seed=config["seed"] + 1)
+        synthetic = True
+    return xin_tr, y_tr, xin_te, y_te, synthetic
+
+
+def build_model(config, num_patches, patch_pixels, n_out):
+    if "type1" in config["model_type"]:
+        layers = []
+        for i in range(1, config["N"] + 1):
+            P = num_patches if i == 1 else num_patches - 1
+            pp = patch_pixels if i == 1 else patch_pixels - 1
+            layers.append(TensorConvolutionTrainLayer(
+                num_carriages=i, bond_dim=config["r"], num_patches=P,
+                patch_pixels=pp, output_shape=(n_out - 1,),
+                convolution_bond=config["CB"], seed=config["seed"] + i))
+        return SumLayer(layers)
+    layer = TensorConvolutionTrainLayer(
+        num_carriages=config["N"], bond_dim=config["r"],
+        num_patches=num_patches, patch_pixels=patch_pixels,
+        output_shape=(n_out - 1,), convolution_bond=config["CB"],
+        seed=config["seed"])
+    return SumLayer([layer])
+
+
+def train_model(config):
+    np.random.seed(config["seed"])
+    xin_tr, y_tr, xin_te, y_te, synthetic = load_data(config)
+    n = xin_tr.shape[0]
+    idx = np.arange(n)
+    rng = np.random.RandomState(config["seed"])
+    rng.shuffle(idx)
+    split = int(n * (1 - config["validation_split"]))
+    tr, va = idx[:split], idx[split:]
+    xin_val, y_val = xin_tr[va], y_tr[va]
+    xin_tr, y_tr = xin_tr[tr], y_tr[tr]
+
+    model = build_model(config, xin_tr.shape[1], xin_tr.shape[2],
+                        int(y_tr.shape[1]))
+    if config["verbose"]:
+        print("Num params:", model.num_parameters())
+
+    # logit-scale calibration (reference AAMNST.py:192-195)
+    y0 = np.asarray(model(xin_tr[:64]))
+    w = float(1.0 / max(y0.std(), 1e-8))
+    bf = XEBregman(w=w)
+
+    cfg = SweepConfig(num_swipes=config["num_swipes"],
+                      batch_size=config["batch_size"],
+                      method="ridge_cholesky", eps=config["eps"],
+                      eps_decay=config["eps_decay"],
+                      verbose=config["verbose"])
+    members = [Member(l.network, fn)
+               for l, fn in zip(model.layers, model.input_fns)]
+    sweeper = Sweeper(members, bf, cfg)
+
+    def sync():
+        pl = getattr(sweeper, "params_list", None)
+        if pl is not None:
+            model.set_params_list(pl)
+
+    def model_predict(x):
+        sync()
+        y = model.forward_batch(x, config["batch_size"])
+        return jnp.concatenate([y, jnp.zeros_like(y[:, :1])], axis=1)
+
+    stopper = EarlyStopping(
+        xin_val, np.asarray(y_val), model_predict=model_predict,
+        get_model_weights=lambda: (sync() or model.node_states()),
+        loss_fn=error_rate, abs_err=config["abs_err"],
+        rel_err=config["rel_err"], early_stopping=config["early_stopping"],
+        verbose=config["verbose"])
+
+    timer = Timer()
+    with timer.phase("train"):
+        params_list, ok = sweeper.run(
+            model.params_list, xin_tr, y_tr,
+            convergence_criterion=stopper.convergence_criterion)
+    model.set_params_list(params_list)
+    if stopper.best_state_dict is not None:
+        model.load_node_states(stopper.best_state_dict)
+
+    y_pred = np.asarray(model_predict(xin_te))
+    acc = accuracy(np.asarray(y_te), y_pred)
+    if config["verbose"]:
+        print(f"Test Accuracy: {acc*100:.2f}% "
+              f"(train {timer.totals['train']:.1f}s, "
+              f"{stopper.epoch} eval epochs, singular={not ok})")
+    return {
+        "dataset": config["dataset"] + ("-synthetic" if synthetic else ""),
+        "model_type": config["model_type"],
+        "N": config["N"], "r": config["r"], "CB": config["CB"],
+        "test_accuracy": round(acc * 100, 2),
+        "num_parameters": model.num_parameters(),
+        "num_swipes": config["num_swipes"], "eps": config["eps"],
+        "eps_decay": config["eps_decay"],
+        "kernel_size": config["kernel_size"],
+        "kernel_stride": config["kernel_stride"],
+        "early_stopping": config["early_stopping"],
+        "abs_err": config["abs_err"], "rel_err": config["rel_err"],
+        "seed": config["seed"],
+        "validation_split": config["validation_split"],
+        "train_seconds": round(timer.totals["train"], 2),
+        "singular": not ok,
+    }
+
+
+def main():
+    config = get_config_from_env()
+    if config["verbose"]:
+        for k, v in config.items():
+            print(f"{k}: {v}")
+    results = train_model(config)
+    append_results_csv(results, config["results_file"])
+    if config["verbose"]:
+        print("Training completed successfully!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""TNML-style estimator: per-feature basis maps feeding a TT with one
+carriage per feature.
+
+Rebuilds `/root/reference/models/tnml.py`: `fbasis` (cos/sin(pi/2 x),
+tnml.py:11-16) or `polynomial_basis` (powers 0..degree, tnml.py:18-23) per
+feature, N = number of features, initial left-orthonormalization and
+gauge-preserving sweeps (orthonormalize=True, tnml.py:218-234).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import gauges
+from ..core.sweep import SweepConfig, Sweeper
+from ..ops.bregman import SquareBregFunction
+from .estimators import EarlyStopping, error_rate, rmse, r2_score_np
+from .layers import TensorTrainLayer
+
+try:
+    from sklearn.base import BaseEstimator, RegressorMixin
+except Exception:  # pragma: no cover
+    class BaseEstimator:  # type: ignore
+        pass
+
+    class RegressorMixin:  # type: ignore
+        pass
+
+
+def fbasis(X):
+    """Per-feature [cos(pi/2 x), sin(pi/2 x)] embedding (reference
+    tnml.py:11-16). Returns a list of (B, 2) arrays, one per feature."""
+    X = jnp.asarray(X)
+    return [jnp.stack([jnp.cos(0.5 * jnp.pi * X[:, i]),
+                       jnp.sin(0.5 * jnp.pi * X[:, i])], axis=-1)
+            for i in range(X.shape[-1])]
+
+
+def polynomial_basis(X, degree: int = 3):
+    """Per-feature power embedding [1, x, ..., x^degree]
+    (reference tnml.py:18-23)."""
+    X = jnp.asarray(X)
+    return [jnp.stack([X[:, i] ** d for d in range(degree + 1)], axis=-1)
+            for i in range(X.shape[-1])]
+
+
+class TNMLRegressor(BaseEstimator, RegressorMixin):
+    def __init__(self, r=8, output_dim=1, seed=42, bf=None, lr=1.0,
+                 eps_start=1.0, eps_decay=0.5, abs_err=1e-6, rel_err=1e-4,
+                 batch_size=512, method="ridge_cholesky", num_swipes=30,
+                 task="regression", early_stopping=0, basis="sin-cos",
+                 degree=3, verbose=0, constrict_bond=True, dtype=jnp.float32):
+        self.r = r
+        self.input_dim = degree + 1 if basis == "polynomial" else 2
+        self.output_dim = output_dim
+        self.constrict_bond = constrict_bond
+        self.seed = seed
+        self.bf = bf
+        self.lr = lr
+        self.eps = eps_start
+        self.eps_decay = eps_decay
+        self.abs_err = abs_err
+        self.rel_err = rel_err
+        self.batch_size = batch_size
+        self.method = method
+        self.num_swipes = num_swipes
+        self.task = task
+        self.early_stopping = early_stopping
+        self.basis = basis
+        self.degree = degree
+        self.verbose = verbose
+        self.dtype = dtype
+        self._model = None
+
+    def _embed(self, X):
+        if self.basis == "sin-cos":
+            return fbasis(X)
+        if self.basis == "polynomial":
+            return polynomial_basis(X, degree=self.degree)
+        raise ValueError(f"unknown basis {self.basis!r}")
+
+    def _predict_arr(self, X_emb):
+        y = self._model.forward_batch(X_emb, self.batch_size)
+        if self.task == "classification":
+            y = jnp.concatenate([y, jnp.zeros_like(y[..., :1])], axis=-1)
+        return y
+
+    def fit(self, X, y, X_val=None, y_val=None, validation_split=0.1,
+            split_train=True):
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y, np.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        self.N = X.shape[1]
+        if self._model is None:
+            self._model = TensorTrainLayer(
+                self.N, self.r, self.input_dim, output_shape=self.output_dim,
+                constrict_bond=self.constrict_bond, dtype=self.dtype,
+                seed=self.seed)
+
+        if X_val is None or y_val is None:
+            if split_train:
+                n = X.shape[0]
+                idx = np.arange(n)
+                rng = np.random.RandomState(self.seed)
+                rng.shuffle(idx)
+                split = int(n * (1 - validation_split))
+                tr, va = idx[:split], idx[split:]
+                X, X_val = X[tr], X[va]
+                y, y_val = y[tr], y[va]
+            else:
+                X_val, y_val = X, y
+        else:
+            y_val = np.asarray(y_val, np.float32)
+            if y_val.ndim == 1:
+                y_val = y_val[:, None]
+
+        X_emb = self._embed(X)
+        X_val_emb = self._embed(X_val)
+        bf = self.bf if self.bf is not None else SquareBregFunction()
+
+        # initial gauge: left-orthonormalize all cores (reference tnml.py:218)
+        self._model.params = gauges.orthonormalize_all_left(
+            self._model.network, self._model.params)
+
+        cfg = SweepConfig(num_swipes=self.num_swipes, batch_size=self.batch_size,
+                          method=self.method, eps=self.eps,
+                          eps_decay=self.eps_decay, lr=self.lr,
+                          orthonormalize=True, verbose=self.verbose)
+        sweeper = Sweeper(self._model.network, bf, cfg)
+
+        def _sync():
+            pl = getattr(sweeper, "params_list", None)
+            if pl is not None:
+                self._model.params = pl[0]
+
+        def model_predict(Xe):
+            _sync()
+            return self._predict_arr(Xe)
+
+        def get_weights():
+            _sync()
+            return self._model.node_states()
+
+        self._early_stopper = EarlyStopping(
+            X_val_emb, np.asarray(y_val), model_predict=model_predict,
+            get_model_weights=get_weights,
+            loss_fn=rmse if self.task == "regression" else error_rate,
+            abs_err=self.abs_err, rel_err=self.rel_err,
+            early_stopping=self.early_stopping, verbose=self.verbose)
+
+        out, _ = sweeper.run(
+            [self._model.params], X_emb, jnp.asarray(y),
+            convergence_criterion=self._early_stopper.convergence_criterion
+            if self.early_stopping > 0 else None)
+        self._model.params = out[0]
+        if (self.early_stopping > 0
+                and self._early_stopper.best_state_dict is not None):
+            self._model.load_node_states(self._early_stopper.best_state_dict)
+        return self
+
+    def predict(self, X):
+        return np.asarray(self._predict_arr(self._embed(np.asarray(X, np.float32))))
+
+    def score(self, X, y_true):
+        y_pred = self.predict(X)
+        y_true = np.asarray(y_true)
+        if self.task == "regression":
+            if y_true.ndim == 1:
+                y_true = y_true[:, None]
+            return r2_score_np(y_true, y_pred)
+        return 1.0 - error_rate(y_true, y_pred)
