@@ -17,10 +17,22 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: the flagship sweep compiles ~25 programs;
+# caching makes repeat bench runs start in seconds instead of minutes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def log(*a):

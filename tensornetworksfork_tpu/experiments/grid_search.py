@@ -1,0 +1,79 @@
+"""Grid search + seed-replicated ablation driver.
+
+Rebuilds the reference `train_grid_search*.py` family (train_grid_search.py:
+38-132 and the 8 ablation drivers): fixed seed lists, a validation grid over
+N x r, then the best config re-run over test seeds, rows appended to
+`{dataset}_ablation_results_{model}.csv` — the protocol that generated the
+reference's accuracy CSVs (BASELINE.md abalone rows).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..utils.config import RunConfig
+from ..utils.metrics import append_results_csv
+from . import train_tabular
+
+# reference fixed seed lists (train_grid_search.py:11-13)
+VAL_SEEDS = [42, 43, 44]
+TEST_SEEDS = [52, 53, 54, 55, 56, 57, 58, 59, 60, 61]
+
+
+def grid_search(cfg: RunConfig, grid: Dict[str, Sequence],
+                val_seeds: Sequence[int] = VAL_SEEDS,
+                test_seeds: Sequence[int] = TEST_SEEDS,
+                metric: str = "val_rmse", minimize: bool = True) -> dict:
+    """Evaluate every grid point over val_seeds; re-run the best over
+    test_seeds; append every row to the ablation CSV."""
+    keys = list(grid.keys())
+    best = None
+    history: List[dict] = []
+    for values in itertools.product(*(grid[k] for k in keys)):
+        overrides = dict(zip(keys, values))
+        scores = []
+        for seed in val_seeds:
+            r = train_tabular.run(cfg, {**overrides, "seed": seed})
+            if r.get("singular") or metric not in r:
+                continue
+            scores.append(r[metric])
+            history.append(r)
+        if not scores:
+            continue
+        mean = float(np.mean(scores))
+        if best is None or (mean < best[0]) == minimize:
+            best = (mean, overrides)
+    if best is None:
+        raise RuntimeError("every grid point failed")
+
+    out_file = (f"{cfg.dataset}_ablation_results_{cfg.model_type}.csv")
+    rows = []
+    for seed in test_seeds:
+        r = train_tabular.run(cfg, {**best[1], "seed": seed})
+        r["phase"] = "test"
+        append_results_csv(r, out_file)
+        rows.append(r)
+    return {"best_overrides": best[1], f"{metric}_val_mean": best[0],
+            "test_rows": rows, "history": history}
+
+
+def ablation(cfg: RunConfig, model_type: str, **grid_overrides) -> dict:
+    """One reference-style ablation: fixes the model family, sweeps N x r
+    (train_grid_search_ablation_tt.py:40-130)."""
+    cfg = dataclasses.replace(cfg, model_type=model_type)
+    grid = {"N": grid_overrides.get("N", [2, 3, 4]),
+            "r": grid_overrides.get("r", [2, 4, 8])}
+    return grid_search(cfg, grid)
+
+
+def main(argv=None):
+    cfg = RunConfig.from_args(argv)
+    out = ablation(cfg, cfg.model_type)
+    print({k: v for k, v in out.items() if k != "history" and k != "test_rows"})
+
+
+if __name__ == "__main__":
+    main()

@@ -70,12 +70,12 @@ def load_data(config):
             print("no local image data found; using synthetic stand-in",
                   file=sys.stderr)
         S = config["synthetic_samples"]
-        xin_tr, y_tr = synthetic_image_classification(
-            S, kernel_size=config["kernel_size"],
+        n_test = max(S // 6, 512)
+        x_all, y_all = synthetic_image_classification(
+            S + n_test, kernel_size=config["kernel_size"],
             kernel_stride=config["kernel_stride"], seed=config["seed"])
-        xin_te, y_te = synthetic_image_classification(
-            max(S // 6, 512), kernel_size=config["kernel_size"],
-            kernel_stride=config["kernel_stride"], seed=config["seed"] + 1)
+        xin_tr, y_tr = x_all[:S], y_all[:S]
+        xin_te, y_te = x_all[S:], y_all[S:]
         synthetic = True
     return xin_tr, y_tr, xin_te, y_te, synthetic
 

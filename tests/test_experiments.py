@@ -1,0 +1,84 @@
+"""End-to-end driver tests: tabular CLI on synthetic data, image driver on
+synthetic MNIST-shaped data, sweep harness trial, config round-trips,
+checkpoint save/load."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from tensornetworksfork_tpu.utils.config import RunConfig
+from tensornetworksfork_tpu.utils.checkpoint import (load_node_states,
+                                                     save_node_states)
+
+
+def test_config_env_and_merge(monkeypatch):
+    monkeypatch.setenv("N", "7")
+    monkeypatch.setenv("EPS", "0.5")
+    monkeypatch.setenv("CONSTRICT_BOND", "true")
+    cfg = RunConfig.from_env()
+    assert cfg.N == 7 and cfg.eps == 0.5 and cfg.constrict_bond is True
+    cfg2 = cfg.merge({"r": 12, "bogus": 1})
+    assert cfg2.r == 12 and not hasattr(cfg2, "bogus")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    states = {"A1": jnp.ones((2, 3)), "A2": jnp.arange(4.0)}
+    p = str(tmp_path / "ckpt.npz")
+    save_node_states(p, states)
+    back = load_node_states(p)
+    np.testing.assert_allclose(np.asarray(back["A1"]), 1.0)
+    states_list = [states, {"B": jnp.zeros(2)}]
+    p2 = str(tmp_path / "ckpt2.npz")
+    save_node_states(p2, states_list)
+    back2 = load_node_states(p2)
+    assert isinstance(back2, list) and len(back2) == 2
+    np.testing.assert_allclose(np.asarray(back2[1]["B"]), 0.0)
+
+
+def test_train_tabular_synthetic(tmp_path):
+    from tensornetworksfork_tpu.experiments import train_tabular
+    cfg = RunConfig(dataset="synthetic", model_type="tt", N=2, r=4,
+                    num_swipes=3, eps=1e-4, eps_decay=0.7, batch_size=512,
+                    early_stopping=3, verbose=0,
+                    results_file=str(tmp_path / "res.csv"))
+    res = train_tabular.run(cfg)
+    assert not res["singular"]
+    assert res["test_r2"] > 0.5, res["test_r2"]
+
+
+def test_train_tabular_polynomial_baseline(tmp_path):
+    from tensornetworksfork_tpu.experiments import train_tabular
+    cfg = RunConfig(dataset="synthetic", model_type="polynomial", N=3,
+                    eps=1e-3, verbose=0,
+                    results_file=str(tmp_path / "res.csv"))
+    res = train_tabular.run(cfg)
+    assert res["test_r2"] > 0.9
+
+
+def test_train_image_synthetic(monkeypatch, tmp_path):
+    from tensornetworksfork_tpu.experiments import train_image
+    monkeypatch.setenv("N", "2")
+    monkeypatch.setenv("R", "4")
+    monkeypatch.setenv("CB", "2")
+    monkeypatch.setenv("NUM_SWIPES", "2")
+    monkeypatch.setenv("EARLY_STOPPING", "4")
+    monkeypatch.setenv("SYNTHETIC_SAMPLES", "1024")
+    monkeypatch.setenv("BATCH_SIZE", "512")
+    monkeypatch.setenv("VERBOSE", "0")
+    monkeypatch.setenv("DATA_PATH", str(tmp_path / "nodata"))
+    monkeypatch.setenv("RESULTS_FILE", str(tmp_path / "img.csv"))
+    config = train_image.get_config_from_env()
+    results = train_image.train_model(config)
+    # synthetic classes are separable enough to beat chance clearly
+    assert results["test_accuracy"] > 20.0, results
+    from tensornetworksfork_tpu.utils.metrics import append_results_csv
+    append_results_csv(results, config["results_file"])
+    assert os.path.exists(config["results_file"])
+
+
+def test_sweep_harness_samples():
+    from tensornetworksfork_tpu.experiments.sweep import SWEEP_SPACE, sample_config
+    rng = np.random.default_rng(0)
+    c = sample_config(rng)
+    assert 2 <= c["N"] <= 16 and 2 <= c["r"] <= 24
+    assert 1e-12 <= c["eps"] <= 10.0
