@@ -22,6 +22,7 @@ Design differences (TPU-first, not a translation):
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -31,6 +32,17 @@ from .contract import contract
 from .topology import CONST, INPUT, PARAM, Topology
 
 Operand = Tuple[Tuple[int, ...], jax.Array]
+
+# Matmul precision for all engine contractions. The reference runs float64;
+# on TPU the default here is full-precision f32 (6-pass bf16 on the MXU,
+# SURVEY.md §7 hard part 1). TNF_PRECISION=default switches to single-pass
+# bf16 — ~4x faster on the Gram einsums, at ~1e-2 relative error in A
+# (benchmarking mode; validate accuracy per config before trusting it).
+DEFAULT_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("TNF_PRECISION", "highest").lower()]
 
 
 def _prime(a):
@@ -47,7 +59,9 @@ class Network:
     """
 
     def __init__(self, topology: Topology, consts: Optional[Dict[str, jax.Array]] = None,
-                 precision=jax.lax.Precision.HIGHEST):
+                 precision=None):
+        if precision is None:
+            precision = DEFAULT_PRECISION
         self.topology = topology
         self.consts = dict(consts or {})
         for spec in topology.nodes:
