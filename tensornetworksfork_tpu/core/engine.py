@@ -59,9 +59,13 @@ class Network:
     """
 
     def __init__(self, topology: Topology, consts: Optional[Dict[str, jax.Array]] = None,
-                 precision=None):
+                 precision=None, use_pallas: Optional[bool] = None):
         if precision is None:
             precision = DEFAULT_PRECISION
+        if use_pallas is None:
+            from ..ops.pallas.gram import pallas_enabled
+            use_pallas = pallas_enabled()
+        self.use_pallas = use_pallas
         self.topology = topology
         self.consts = dict(consts or {})
         for spec in topology.nodes:
@@ -228,6 +232,20 @@ class Network:
 
         primed = {a: _prime(a) for a in set(node_axes) | set(out_axes)}
         diag = hess.ndim == grad.ndim
+        if (self.use_pallas and diag and hess[0].size == 1
+                and not any(a in out_axes for a in J_axes)
+                and all(a in J_axes for a in node_axes)
+                and len(J_axes) == 1 + len(node_axes)
+                and len(set(node_axes)) == len(node_axes)
+                and not jnp.iscomplexobj(J_arr)):
+            # fused weighted-Gram TPU kernel (ops/pallas/gram.py): permute J
+            # to (s, node axes...) and flatten
+            from ..ops.pallas.gram import weighted_gram_auto
+            perm = [J_axes.index(s)] + [J_axes.index(a) for a in node_axes]
+            J2d = jnp.transpose(J_arr, perm).reshape(J_arr.shape[perm[0]], -1)
+            A = weighted_gram_auto(J2d, hess.reshape(hess.shape[0]))
+            shape = tuple(J_arr.shape[J_axes.index(a)] for a in node_axes)
+            return A.reshape(shape + shape), b
         if diag and any(a in out_axes for a in node_axes):
             # A node-owned output axis makes the Gram block-diagonal in it;
             # einsum can't emit a delta, so embed the diagonal explicitly
