@@ -1,0 +1,134 @@
+"""Auxiliary component tests: feature maps, symmetric CPD, TT-natural-gradient
+module, reporting tables, default_train variants, TNML estimator, module-tier
+estimators, growing drivers."""
+import numpy as np
+import jax.numpy as jnp
+import pandas as pd
+
+from tensornetworksfork_tpu.ops import feature_maps
+
+
+def test_feature_maps_shapes():
+    X = np.random.default_rng(0).uniform(-1, 1, (8, 3)).astype(np.float32)
+    F = feature_maps.fourier_basis(X, 2)
+    assert F.shape == (8, 3, 5) and F.dtype == jnp.complex64
+    Fs = feature_maps.fourier_basis(X, 3, dense=False)
+    assert Fs.shape[-1] == 4
+    R = feature_maps.gaussian_rbf_basis(X, num_centers=6)
+    assert R.shape == (8, 3, 6)
+    L = feature_maps.legendre_basis(X, 3)
+    assert L.shape == (8, 3, 4)
+    # Legendre P2(x) = (3x^2 - 1)/2
+    np.testing.assert_allclose(np.asarray(L[..., 2]),
+                               (3 * X ** 2 - 1) / 2, rtol=1e-5, atol=1e-5)
+
+
+def test_symmetric_cpd_fits():
+    from tensornetworksfork_tpu.models.symmetric_cpd import SymmetricCPD
+    rng = np.random.default_rng(1)
+    d, R, m = 4, 3, 2
+    W_true = rng.standard_normal((R, d))
+    lam_true = rng.standard_normal(R)
+    X = rng.standard_normal((256, d)).astype(np.float32)
+    y = ((X @ W_true.T) ** m) @ lam_true
+    model = SymmetricCPD(d, R + 1, m, seed=0).fit(X, y, iters=60, eps=1e-6)
+    pred = model.predict(X)
+    rel = np.sqrt(np.mean((pred - y) ** 2)) / y.std()
+    assert rel < 0.05, rel
+
+
+def test_tt_natural_gradient_steps():
+    from tensornetworksfork_tpu.models.tt_nn import TTNaturalGradient
+    from tensornetworksfork_tpu.ops.bregman import SquareBregFunction
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((128, 3)).astype(np.float32)
+    y = (X[:, 0] * X[:, 1]).reshape(-1, 1).astype(np.float32)
+    model = TTNaturalGradient(3, (1,), N=2, r=3, seed=0)
+    params = model.params
+    losses = []
+    loss_fn = SquareBregFunction()
+    for _ in range(12):
+        params, loss = model.train_step(params, jnp.asarray(X),
+                                        jnp.asarray(y), loss_fn)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_reporting_tables():
+    from tensornetworksfork_tpu.experiments import reporting
+    df = pd.DataFrame([
+        {"N": 3, "r": 8, "seed": s, "test_accuracy": 0.9 + 0.01 * s,
+         "num_parameters": 100}
+        for s in range(4)
+    ] + [{"N": 2, "r": 4, "seed": 0, "test_accuracy": 0.5,
+          "num_parameters": 10}])
+    tab = reporting.seed_averaged_table(df, ["N", "r"], min_seeds=3)
+    assert len(tab) == 1 and tab.iloc[0]["n_seeds"] == 4
+    tex = reporting.to_latex_table(tab)
+    assert r"\begin{tabular}" in tex
+    pf = reporting.pareto_frontier(df)
+    assert len(pf) == 2  # both points are non-dominated
+
+
+def test_default_train_variants():
+    from tensornetworksfork_tpu.experiments import default_train
+    for variant in ("raw", "rbf", "legendre"):
+        res = default_train.run(variant, S=512, d=3, degree=2, N=3, r=6,
+                                num_swipes=4)
+        assert res["ok"], variant
+        assert res["train_rmse"] < 0.6, (variant, res)
+
+
+def test_default_train_fourier_and_uncertainty():
+    from tensornetworksfork_tpu.experiments import default_train
+    res = default_train.run("fourier", S=256, d=2, degree=2, r=6, num_swipes=4)
+    assert res["ok"]
+    res_u = default_train.run("uncertainty", S=512, d=3, degree=2, N=2, r=4,
+                              num_swipes=4, eps=1e-2)
+    assert res_u["ok"]
+
+
+def test_tnml_regressor():
+    from tensornetworksfork_tpu.models.tnml import TNMLRegressor
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-1, 1, (512, 3)).astype(np.float32)
+    # exactly representable in the sin-cos product basis (rank 1)
+    y = (np.sin(np.pi / 2 * X[:, 0]) * np.cos(np.pi / 2 * X[:, 1])
+         * np.cos(np.pi / 2 * X[:, 2]))
+    reg = TNMLRegressor(r=6, num_swipes=6, eps_start=1e-4, eps_decay=0.8,
+                        batch_size=256, seed=0)
+    reg.fit(X, y)
+    assert reg.score(X, y) > 0.9
+
+
+def test_module_batch_regressor():
+    from tensornetworksfork_tpu.models.module import (
+        TensorTrainBatchRegressor, TensorTrainRegressor)
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((256, 3)).astype(np.float32)
+    y = (X[:, 0] + X[:, 1] * X[:, 2]).astype(np.float32)
+    reg = TensorTrainRegressor(N=2, r=4, num_swipes=4, eps_start=1e-4,
+                               eps_end=1e-6, perturb=False,
+                               constrict_bond=False, seed=0)
+    reg.fit(X, y)
+    assert reg.score(X, y) > 0.8
+    assert len(reg.trajectory) > 0
+    breg = TensorTrainBatchRegressor(N=2, r=4, num_swipes=2, batch_size=64,
+                                     swipe_method="batch_same", perturb=False,
+                                     constrict_bond=False, eps_start=1e-3,
+                                     eps_end=1e-3, seed=0)
+    breg.fit(X, y)
+    assert breg.score(X, y) > 0.5
+
+
+def test_growing_drivers():
+    from tensornetworksfork_tpu.experiments.growing import run_grow_cart
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((256, 6, 5)).astype(np.float32)
+    y = rng.standard_normal((256, 2)).astype(np.float32)
+    layer, hist = run_grow_cart(x, y, start_carriages=1, grow_steps=1,
+                                bond_dim=3, convolution_bond=2, num_swipes=1,
+                                eps=1e-2)
+    assert len(hist) == 2
+    assert hist[1]["carriages"] == 2
+    assert all(h["ok"] for h in hist)
