@@ -67,11 +67,16 @@ ITERATIVE_METHODS = ("cg", "minres", "lanczos")
 class Member:
     """One network of an (optional) type-I sum. `input_fn` adapts the global
     x to this member's inputs (reference slices x[..., :shape] per member,
-    network.py:1012)."""
+    network.py:1012). `train` selects which nodes sweep: 'train' = the
+    topology's train nodes, 'main' = main nodes only — the reference
+    SumOfNetworks(train_operators=...) switch (network.py:1002-1005)."""
 
-    def __init__(self, net: Network, input_fn: Optional[Callable] = None):
+    def __init__(self, net: Network, input_fn: Optional[Callable] = None,
+                 train: str = "train"):
         self.net = net
         self.input_fn = input_fn or (lambda x: net.bind_inputs(x))
+        self.train_nodes = (net.topology.train_nodes if train == "train"
+                            else net.topology.main_nodes)
 
 
 class Sweeper:
@@ -458,7 +463,7 @@ class Sweeper:
 
         # train sequence: (member, node) pairs in member order
         seq = [(mi, ni) for mi, m in enumerate(self.members)
-               for ni in m.net.topology.train_nodes]
+               for ni in m.train_nodes]
         if node_order is not None:
             seq = list(node_order)
 

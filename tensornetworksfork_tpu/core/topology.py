@@ -316,6 +316,45 @@ class Topology:
     def node_axis_tuple(self, ni: int) -> Tuple[int, ...]:
         return self.node_axes[ni]
 
+    def without_nodes(self, names: Sequence[str]) -> "Topology":
+        """Virtual copy of the network minus the given nodes (reference
+        TensorNetwork.disconnect, network.py:347-377) — used to inspect
+        operator-only subnetworks. Edges to removed nodes are dropped."""
+        drop = set(names)
+        b = TopologyBuilder(self.sample_dim)
+        for spec in self.nodes:
+            if spec.name in drop:
+                continue
+            b.add(NodeSpec(spec.name, spec.labels, spec.shape, spec.kind,
+                           spec.left, spec.right, spec.init, spec.cpd_mask))
+        # re-declare surviving edges via shared global axes
+        kept_idx = {s.name for s in b.nodes}
+        seen = {}
+        for ni, axes in enumerate(self.node_axes):
+            name = self.nodes[ni].name
+            if name in drop:
+                continue
+            for ai, a in enumerate(axes):
+                if a == self.sample_axis:
+                    continue
+                lab = self.nodes[ni].labels[ai]
+                if a in seen:
+                    other_name, other_lab = seen[a]
+                    b.connect(other_name, other_lab, name, lab)
+                else:
+                    seen[a] = (name, lab)
+        inputs = [self.nodes[ni].name for ni in self.input_nodes
+                  if self.nodes[ni].name in kept_idx]
+        mains = [self.nodes[ni].name for ni in self.main_nodes
+                 if self.nodes[ni].name in kept_idx]
+        trains = [self.nodes[ni].name for ni in self.train_nodes
+                  if self.nodes[ni].name in kept_idx]
+        out_labels = tuple(
+            ol for ol in self.output_labels
+            if ol == self.sample_dim
+            or any(ol in s.labels for s in b.nodes))
+        return b.finalize(inputs, mains, trains, out_labels)
+
 
 def _materialize(spec: NodeSpec, key, dtype) -> jax.Array:
     if callable(spec.init):

@@ -221,6 +221,31 @@ class SVMClfWrapper:
         return np.vectorize(self.retranslation_dict.get)(y_pred)
 
 
+class GaussianProcessWrapper:
+    """sklearn Gaussian process baseline (reference
+    train_grid_search_GaussianProcess.py)."""
+
+    def __init__(self, gp_params=None, task="regression"):
+        self.task = task
+        p = gp_params or {}
+        if task == "classification":
+            from sklearn.gaussian_process import GaussianProcessClassifier
+            self.model = GaussianProcessClassifier(**p)
+        else:
+            from sklearn.gaussian_process import GaussianProcessRegressor
+            self.model = GaussianProcessRegressor(**p)
+
+    def fit(self, X, y):
+        y = np.asarray(y)
+        if self.task == "classification" and y.ndim == 2:
+            y = y.argmax(-1)
+        self.model.fit(np.asarray(X), y.squeeze() if y.ndim > 1 else y)
+        return self
+
+    def predict(self, X):
+        return self.model.predict(np.asarray(X))
+
+
 class PolynomialRegressionWrapper:
     """PolynomialFeatures + Ridge/Lasso/pinv (reference
     models/polynomial_regression.py)."""

@@ -248,7 +248,11 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
             lr=self.lr, verbose=self.verbose)
         is_sum = isinstance(self._model, SumLayer)
         if is_sum:
-            members = [Member(l.network, fn)
+            # train_operator mirrors SumOfNetworks(train_operators=...),
+            # network.py:1002-1005: True trains each member's train nodes
+            # (cores + operators), False only the main cores
+            members = [Member(l.network, fn,
+                              train="train" if self.train_operator else "main")
                        for l, fn in zip(self._model.layers, self._model.input_fns)]
             sweeper = Sweeper(members, bf, cfg)
             init_params = self._model.params_list

@@ -192,7 +192,10 @@ class TensorTrainLayer(TNLayer):
 class TensorTrainLinearLayer(TNLayer):
     def __init__(self, num_carriages: int, bond_dim: int, input_features: int,
                  linear_dim: int, output_shape=(), constrict_bond: bool = True,
-                 perturb: bool = False, dtype=jnp.float32, seed: int = 0):
+                 train_linear: bool = True, perturb: bool = False,
+                 dtype=jnp.float32, seed: int = 0):
+        # train_linear=False freezes the linear feature maps (the old-gen
+        # SumOfNetworks(train_linear=...) switch, network_with_means.py:978)
         N, r, f, ld = num_carriages, bond_dim, input_features, linear_dim
         output_shape = output_shape if isinstance(output_shape, tuple) else (output_shape,)
         self.num_carriages, self.bond_dim = N, r
@@ -224,7 +227,7 @@ class TensorTrainLinearLayer(TNLayer):
             b.connect(f"L{i}", f"p{i}", f"X{i}")
             if i > 1:
                 b.connect(f"A{i-1}", f"r{i}", f"A{i}")
-            train_order += [f"A{i}", f"L{i}"]
+            train_order += [f"A{i}", f"L{i}"] if train_linear else [f"A{i}"]
         for i in range(1, N + 1):
             b.squeeze(f"A{i}", exclude=out_labels)
         topo = b.finalize([f"X{i}" for i in range(1, N + 1)],

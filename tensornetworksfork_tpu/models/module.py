@@ -90,6 +90,7 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
                                              self.linear_dim < self.input_dim)
                   else TensorTrainLayer)
             layers = []
+            train_linear = "_no_train_linear" not in self.model_type
             for i in range(1, self.N + 1):
                 f = self.input_dim - 1 if (drop_bias and i != 1) else self.input_dim
                 kw = dict(output_shape=self.output_dim,
@@ -97,7 +98,8 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
                           perturb=self.perturb, dtype=self.dtype,
                           seed=self.seed + i)
                 if mk is TensorTrainLinearLayer:
-                    layers.append(mk(i, self.r, f, self.linear_dim, **kw))
+                    layers.append(mk(i, self.r, f, self.linear_dim,
+                                     train_linear=train_linear, **kw))
                 else:
                     layers.append(mk(i, self.r, f, **kw))
             self._model = SumLayer(layers)
@@ -244,7 +246,7 @@ class TensorTrainBatchRegressor(TensorTrainRegressor):
             self.trajectory.append(log)
 
         seq = [(mi, ni) for mi, m in enumerate(sweeper.members)
-               for ni in m.net.topology.train_nodes]
+               for ni in m.train_nodes]
 
         for swipe in range(self.num_swipes):
             indices = batch_rng.permutation(n_train)

@@ -44,3 +44,17 @@ class Timer:
                 "mean_s": self.totals[k] / max(self.counts[k], 1)}
             for k in self.totals
         }
+
+
+@contextmanager
+def xla_trace(log_dir: str = "/tmp/tnf_trace"):
+    """jax.profiler trace context — the framework's replacement for the
+    reference's absent profiling tier (SURVEY.md §5.1). View with
+    tensorboard/xprof."""
+    import jax.profiler as _prof
+
+    _prof.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        _prof.stop_trace()
