@@ -96,6 +96,34 @@ def load_tabular_data(path_or_name: str, data_dir: str = "data"
         return {k: d[k] for k in d.files}
 
 
+def load_sklearn_dataset(name: str, seed: int = 42) -> Dict[str, np.ndarray]:
+    """Bundled sklearn datasets (no network): iris, wine, breast_cancer,
+    diabetes — standardized + 60/20/20 split. Covers the reference's IRIS
+    sanity benchmarks (classification_IRIS.py, prepare_iris.py) offline."""
+    from sklearn import datasets as skd
+    loaders = {
+        "iris": (skd.load_iris, "classification"),
+        "wine": (skd.load_wine, "classification"),
+        "breast_cancer": (skd.load_breast_cancer, "classification"),
+        "diabetes": (skd.load_diabetes, "regression"),
+    }
+    if name not in loaders:
+        raise ValueError(f"unknown bundled dataset {name!r}")
+    loader, task = loaders[name]
+    ds = loader()
+    X = np.asarray(ds.data, np.float32)
+    y = np.asarray(ds.target, np.float32)
+    if task == "regression":
+        y = (y - y.mean()) / y.std()
+    splits = split_train_val_test(X, y.reshape(-1, 1), seed=seed)
+    Xtr, mean, std = standardize(splits["X_train"])
+    splits["X_train"] = Xtr
+    splits["X_val"] = standardize(splits["X_val"], mean, std)[0]
+    splits["X_test"] = standardize(splits["X_test"], mean, std)[0]
+    splits["task"] = task
+    return splits
+
+
 def load_ucirepo(repo_id: Optional[int] = None, name: Optional[str] = None,
                  max_one_hot: int = 128):
     """Gated UCI fetch (reference load_ucirepo.py). Requires the optional

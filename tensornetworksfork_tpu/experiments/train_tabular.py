@@ -70,13 +70,20 @@ def run(cfg: RunConfig, overrides=None) -> dict:
         X, y = make_regression(S=4096, d=6, degree=3, seed=cfg.seed)
         from ..data.tabular import split_train_val_test
         data = split_train_val_test(X, y, seed=cfg.seed)
+    elif cfg.dataset in ("iris", "wine", "breast_cancer", "diabetes"):
+        from ..data.tabular import load_sklearn_dataset
+        data = load_sklearn_dataset(cfg.dataset, seed=cfg.seed)
+        cfg.task = data.pop("task")
     else:
         data = load_tabular_data(cfg.dataset, cfg.data_path)
     X_tr, y_tr = data["X_train"], data["y_train"]
     X_val, y_val = data["X_val"], data["y_val"]
     X_te, y_te = data["X_test"], data["y_test"]
 
-    if cfg.task == "classification" and y_tr.ndim == 1:
+    if cfg.task == "classification" and (y_tr.ndim == 1
+                                         or y_tr.shape[-1] == 1):
+        y_tr, y_val, y_te = (np.asarray(a).reshape(-1)
+                             for a in (y_tr, y_val, y_te))
         n_cls = int(max(y_tr.max(), y_val.max(), y_te.max())) + 1
         eye = np.eye(n_cls, dtype=np.float32)
         y_tr, y_val, y_te = eye[y_tr.astype(int)], eye[y_val.astype(int)], eye[y_te.astype(int)]

@@ -82,3 +82,13 @@ def test_sweep_harness_samples():
     c = sample_config(rng)
     assert 2 <= c["N"] <= 16 and 2 <= c["r"] <= 24
     assert 1e-12 <= c["eps"] <= 10.0
+
+
+def test_bundled_sklearn_datasets(tmp_path):
+    from tensornetworksfork_tpu.experiments import train_tabular
+    cfg = RunConfig(dataset="iris", model_type="tt", N=2, r=4, num_swipes=6,
+                    eps=1e-2, eps_decay=0.7, batch_size=64, early_stopping=4,
+                    verbose=0, results_file=str(tmp_path / "iris.csv"))
+    res = train_tabular.run(cfg)
+    assert res["task"] == "classification"
+    assert res["test_accuracy"] > 0.8, res
