@@ -57,8 +57,12 @@ def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=2, seed=0):
                       eps=5.0, eps_decay=0.25)
     sweeper = Sweeper(layer.network, XEBregman(w=1.0), cfg)
 
-    # warmup epoch: compiles every per-node update + env program
+    # warmup: parallel-compile every per-node update + env program, then one
+    # uncompiled-path-free epoch
     t0 = time.perf_counter()
+    n_jobs = sweeper.precompile([layer.params], X, y)
+    log(f"ours: precompiled {n_jobs} programs in "
+        f"{time.perf_counter()-t0:.1f}s")
     params, ok = sweeper.run([layer.params], X, y)
     assert ok
     jax.block_until_ready(next(iter(params[0].values())))

@@ -18,6 +18,20 @@ import jax as _jax
 # global default protects every auxiliary matmul (QR pushes, losses, ...).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: a sweep compiles one program per
+# (node, direction) and TPU compiles are expensive; cache unless disabled.
+import os as _os
+
+if _os.environ.get("TNF_NO_COMPILE_CACHE", "0") != "1":
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "tnf_jax"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .core.topology import Topology, TopologyBuilder, NodeSpec, PARAM, INPUT, CONST
 from .core.engine import Network
 from .core.sweep import SweepConfig, Sweeper, Member, accumulating_sweep

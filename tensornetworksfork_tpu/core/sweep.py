@@ -438,6 +438,90 @@ class Sweeper:
             self._jits[key] = jax.jit(fn)
         return self._jits[key]
 
+    # ------------------------------------------------------------ precompile
+    def precompile(self, params_list, x, y, *, sample_weight=None, mesh=None,
+                   max_workers: int = 8, node_order=None):
+        """Compiles every program a run() will need, concurrently.
+
+        XLA compilation is the dominant first-run cost (one program per node
+        update plus env programs); dispatching the warm-up calls from a
+        thread pool compiles them in parallel. Safe to skip — run() compiles
+        lazily — but cuts cold-start wall-clock severalfold."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if isinstance(params_list, dict):
+            params_list = [params_list]
+        data = self._prepare(x, y, sample_weight, mesh)
+        B = data["B"]
+        nc = data["P"] // B
+        use_rest = len(self.members) > 1
+        seq = node_order or [(mi, ni) for mi, m in enumerate(self.members)
+                             for ni in m.train_nodes]
+        member_last_i = {}
+        for i, (mi, ni) in enumerate(seq):
+            member_last_i[mi] = i
+
+        def env_zeros(mi, side, ci):
+            t = self.members[mi].net.topology
+            axes = self._env_axes(mi, side, ci)
+            shape = tuple(B if a == t.sample_axis else t.axis_size[a]
+                          for a in axes)
+            dtype = next(iter(params_list[mi].values())).dtype
+            return jnp.zeros((nc,) + shape, dtype)
+
+        jobs = []
+        rest0 = jnp.zeros_like(data["y"]) if use_rest else None
+        for mi, m in enumerate(self.members):
+            t = m.net.topology
+            ncols = len(t.columns)
+            if not t.input_nodes:
+                for ni in m.train_nodes:
+                    fn = self._jit_update_standalone(mi, ni, self.cfg.method)
+                    jobs.append((fn, (params_list[mi], data["y"], data["w"],
+                                      jnp.float32(0.1))))
+                continue
+            for d in ("left", "right"):
+                jobs.append((self._jit_far_envs(mi, d),
+                             (params_list[mi], data["inputs"][mi])))
+            for ci in range(ncols):
+                for side, has_prev in (("left", ci > 0),
+                                       ("right", ci < ncols - 1)):
+                    prev_ci = ci - 1 if side == "left" else ci + 1
+                    prev = (env_zeros(mi, side, prev_ci) if has_prev else None)
+                    jobs.append((self._jit_advance(mi, ci, side, has_prev),
+                                 (params_list[mi], prev, data["inputs"][mi])))
+            if use_rest:
+                jobs.append((self._jit_member_forward(mi, B),
+                             (params_list[mi], data["inputs"][mi])))
+        for i, (mi, ni) in enumerate(seq):
+            t = self.members[mi].net.topology
+            if not t.input_nodes:
+                continue
+            ci = t.col_of[ni]
+            ncols = len(t.columns)
+            L = env_zeros(mi, "left", ci - 1) if ci > 0 else None
+            R = env_zeros(mi, "right", ci + 1) if ci < ncols - 1 else None
+            method = self.cfg.method
+            return_pred = use_rest and i == member_last_i[mi]
+            fn = self._jit_update(mi, ni, method, use_rest, return_pred, B)
+            x0 = None
+            if method in ITERATIVE_METHODS:
+                x0 = jnp.zeros((params_list[mi][t.nodes[ni].name].size,),
+                               jnp.float32)
+            jobs.append((fn, (params_list[mi], L, R, data["inputs"][mi],
+                              data["y"], data["w"], rest0,
+                              jnp.float32(0.1), x0)))
+
+        def do(job):
+            fn, args = job
+            out = fn(*args)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[:1])
+            return None
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(do, jobs))
+        return len(jobs)
+
     # ------------------------------------------------------------------- run
     def run(self, params_list, x, y, *, sample_weight=None,
             convergence_criterion=None, block_callback=None, loss_callback=None,

@@ -148,6 +148,8 @@ def train_model(config):
         verbose=config["verbose"])
 
     timer = Timer()
+    with timer.phase("compile"):
+        sweeper.precompile(model.params_list, xin_tr, y_tr)
     with timer.phase("train"):
         params_list, ok = sweeper.run(
             model.params_list, xin_tr, y_tr,

@@ -97,3 +97,26 @@ def test_iterative_sweep_cg_converges():
                                             layer.network.bind_inputs(jnp.asarray(X))))
     rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
     assert rmse < 5e-2, rmse
+
+
+def test_precompile_matches_lazy():
+    """precompile() then run() must produce identical results to lazy run."""
+    from tensornetworksfork_tpu.core.sweep import Sweeper
+    rng = np.random.default_rng(9)
+    X = np.concatenate([rng.standard_normal((64, 3)).astype(np.float32),
+                        np.ones((64, 1), np.float32)], axis=1)
+    y = (X[:, 0] * X[:, 1]).reshape(-1, 1).astype(np.float32)
+    cfg = SweepConfig(num_swipes=2, method="ridge_cholesky", eps=1e-4,
+                      batch_size=32)
+    l1 = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=1)
+    sw = Sweeper(l1.network, SquareBregFunction(), cfg)
+    n_jobs = sw.precompile([dict(l1.params)], jnp.asarray(X), jnp.asarray(y))
+    assert n_jobs > 0
+    p1, ok1 = sw.run([dict(l1.params)], jnp.asarray(X), jnp.asarray(y))
+    l2 = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=1)
+    p2, ok2 = Sweeper(l2.network, SquareBregFunction(), cfg).run(
+        [dict(l2.params)], jnp.asarray(X), jnp.asarray(y))
+    assert ok1 and ok2
+    for k in p1[0]:
+        np.testing.assert_allclose(np.asarray(p1[0][k]), np.asarray(p2[0][k]),
+                                   rtol=1e-5, atol=1e-5)
