@@ -440,15 +440,20 @@ class Sweeper:
 
     # ------------------------------------------------------------ precompile
     def precompile(self, params_list, x, y, *, sample_weight=None, mesh=None,
-                   max_workers: int = 8, node_order=None):
+                   max_workers: Optional[int] = None, node_order=None):
         """Compiles every program a run() will need, concurrently.
 
         XLA compilation is the dominant first-run cost (one program per node
         update plus env programs); dispatching the warm-up calls from a
         thread pool compiles them in parallel. Safe to skip — run() compiles
         lazily — but cuts cold-start wall-clock severalfold."""
+        import os
         from concurrent.futures import ThreadPoolExecutor
 
+        if max_workers is None:
+            # remote compile services can wedge under high concurrency;
+            # keep this modest (TNF_COMPILE_WORKERS=1 forces serial)
+            max_workers = int(os.environ.get("TNF_COMPILE_WORKERS", "4"))
         if isinstance(params_list, dict):
             params_list = [params_list]
         data = self._prepare(x, y, sample_weight, mesh)
@@ -470,7 +475,13 @@ class Sweeper:
             return jnp.zeros((nc,) + shape, dtype)
 
         jobs = []
-        rest0 = jnp.zeros_like(data["y"]) if use_rest else None
+        rest0 = None
+        if use_rest:
+            # rest carries the MODEL output shape (may differ from y, e.g.
+            # C-1 logits vs one-hot targets)
+            t0 = self.members[0].net.topology
+            out_sizes = tuple(t0.axis_size[a] for a in t0.output_axes)
+            rest0 = jnp.zeros((nc, B) + out_sizes, jnp.float32)
         for mi, m in enumerate(self.members):
             t = m.net.topology
             ncols = len(t.columns)

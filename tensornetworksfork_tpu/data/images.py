@@ -34,6 +34,12 @@ _IDX_NAMES = {
 
 
 def _read_idx(path: str) -> np.ndarray:
+    if not path.endswith(".gz"):
+        # native fast path (C++ parser, tensornetworksfork_tpu/native)
+        from .. import native
+        out = native.read_idx(path)
+        if out is not None:
+            return out
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         magic = struct.unpack(">I", f.read(4))[0]
@@ -80,6 +86,27 @@ def preprocess_images(x: np.ndarray, y: np.ndarray, kernel_size: int = 4,
     xp = image_to_conv_input(jnp.asarray(x), kernel_size, kernel_stride)
     onehot = np.eye(num_classes, dtype=np.float32)[np.asarray(y).astype(int)]
     return xp, jnp.asarray(onehot)
+
+
+def load_digits_images(kernel_size: int = 2, kernel_stride: int = 2,
+                       seed: int = 42, test_fraction: float = 0.2):
+    """sklearn's bundled 8x8 digits as a REAL image benchmark (offline):
+    returns (x_train, y_train, x_test, y_test) preprocessed with the
+    reference patch protocol. 1797 samples, 10 classes."""
+    from sklearn.datasets import load_digits
+
+    ds = load_digits()
+    imgs = ds.images.astype(np.float32)  # (N, 8, 8), values 0..16
+    imgs = (imgs / 16.0 - 0.5) / 0.5
+    labels = ds.target
+    n = len(labels)
+    idx = np.random.RandomState(seed).permutation(n)
+    n_test = int(n * test_fraction)
+    te, tr = idx[:n_test], idx[n_test:]
+    xp = image_to_conv_input(jnp.asarray(imgs[:, None]), kernel_size,
+                             kernel_stride)
+    onehot = np.eye(10, dtype=np.float32)[labels]
+    return xp[tr], jnp.asarray(onehot[tr]), xp[te], jnp.asarray(onehot[te])
 
 
 def synthetic_image_classification(S: int = 8192, side: int = 28,

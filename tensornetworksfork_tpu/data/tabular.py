@@ -106,6 +106,7 @@ def load_sklearn_dataset(name: str, seed: int = 42) -> Dict[str, np.ndarray]:
         "wine": (skd.load_wine, "classification"),
         "breast_cancer": (skd.load_breast_cancer, "classification"),
         "diabetes": (skd.load_diabetes, "regression"),
+        "digits": (skd.load_digits, "classification"),
     }
     if name not in loaders:
         raise ValueError(f"unknown bundled dataset {name!r}")

@@ -58,6 +58,12 @@ def get_config_from_env():
 
 
 def load_data(config):
+    if config["dataset"].lower() == "digits":
+        # sklearn's bundled 8x8 digits: real image data, no network needed
+        from ..data.images import load_digits_images
+        k = min(config["kernel_size"], 4)
+        xtr, ytr, xte, yte = load_digits_images(k, k, seed=config["seed"])
+        return xtr, ytr, xte, yte, False
     try:
         xtr, ytr, xte, yte = load_mnist_like(config["data_path"])
         xin_tr, y_tr = preprocess_images(xtr, ytr, config["kernel_size"],
