@@ -92,3 +92,21 @@ def test_bundled_sklearn_datasets(tmp_path):
     res = train_tabular.run(cfg)
     assert res["task"] == "classification"
     assert res["test_accuracy"] > 0.8, res
+
+
+def test_prepare_data_cli(tmp_path):
+    import pandas as pd
+    from tensornetworksfork_tpu.experiments.prepare_data import prepare_csv
+    from tensornetworksfork_tpu.data.tabular import load_tabular_data
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({
+        "len": rng.uniform(0, 1, 100),
+        "sex": rng.choice(["M", "F", "I"], 100),
+        "rings": rng.integers(1, 20, 100),
+    })
+    csv = str(tmp_path / "abalone.csv")
+    df.to_csv(csv, index=False)
+    splits = prepare_csv(csv, "rings", "abalone", out_dir=str(tmp_path))
+    assert splits["X_train"].shape[1] == 4  # len + 3 one-hot sex
+    data = load_tabular_data("abalone", str(tmp_path))
+    assert data["X_test"].shape[0] == 20
