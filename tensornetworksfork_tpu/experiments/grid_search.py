@@ -60,6 +60,27 @@ def grid_search(cfg: RunConfig, grid: Dict[str, Sequence],
             "test_rows": rows, "history": history}
 
 
+# the reference's 8 ablation drivers (train_grid_search_ablation_*.py) as
+# named configurations
+ABLATIONS = {
+    "tt": {"model_type": "tt"},
+    "tt_type1": {"model_type": "tt_type1"},
+    "cpd": {"model_type": "cpd"},
+    "cpd_type1": {"model_type": "cpd_type1"},
+    "tt_cumsum": {"model_type": "tt", "cum_sum": True},
+    "tt_cumsum_type1": {"model_type": "tt_type1", "cum_sum": True},
+    "tt_lin": {"model_type": "tt", "linear_dim": 4},
+    "tt_lin_type1": {"model_type": "tt_type1", "linear_dim": 4},
+}
+
+
+def run_ablation(cfg: RunConfig, name: str, **grid) -> dict:
+    """Run one of the reference's named ablations."""
+    overrides = ABLATIONS[name]
+    c = cfg.merge(overrides)
+    return ablation(c, c.model_type, **grid)
+
+
 def ablation(cfg: RunConfig, model_type: str, **grid_overrides) -> dict:
     """One reference-style ablation: fixes the model family, sweeps N x r
     (train_grid_search_ablation_tt.py:40-130)."""

@@ -25,9 +25,12 @@ def save_node_states(path: str, states: Union[dict, list]) -> None:
     """states: {name: array} or [{name: array}, ...] (sum layers)."""
     path = os.path.abspath(path)
     if _HAVE_ORBAX and not path.endswith(".npz"):
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, states, force=True)
-        return
+        try:
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(path, states, force=True)
+            return
+        except Exception:
+            pass  # orbax API drift: fall through to the npz protocol
     flat = {}
     if isinstance(states, list):
         for mi, d in enumerate(states):
@@ -45,8 +48,11 @@ def save_node_states(path: str, states: Union[dict, list]) -> None:
 def load_node_states(path: str) -> Union[dict, list]:
     path = os.path.abspath(path)
     if _HAVE_ORBAX and not path.endswith(".npz") and os.path.isdir(path):
-        ckptr = ocp.PyTreeCheckpointer()
-        return ckptr.restore(path)
+        try:
+            ckptr = ocp.PyTreeCheckpointer()
+            return ckptr.restore(path)
+        except Exception:
+            pass
     npz_path = path if path.endswith(".npz") else path + ".npz"
     with np.load(npz_path) as data:
         layout = int(data["__layout__"])

@@ -110,3 +110,16 @@ def test_prepare_data_cli(tmp_path):
     assert splits["X_train"].shape[1] == 4  # len + 3 one-hot sex
     data = load_tabular_data("abalone", str(tmp_path))
     assert data["X_test"].shape[0] == 20
+
+
+def test_grid_search_small(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from tensornetworksfork_tpu.experiments import grid_search
+    cfg = RunConfig(dataset="synthetic", model_type="tt", num_swipes=2,
+                    eps=1e-3, eps_decay=0.7, batch_size=512, verbose=0)
+    out = grid_search.grid_search(cfg, {"N": [2], "r": [3, 5]},
+                                  val_seeds=[42], test_seeds=[52, 53])
+    assert "best_overrides" in out
+    assert len(out["test_rows"]) == 2
+    import os
+    assert os.path.exists("synthetic_ablation_results_tt.csv")
