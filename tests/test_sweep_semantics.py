@@ -1,0 +1,98 @@
+"""Sweep-driver semantics: eps schedules (list / decay / per-node), timeout
+abort, r2l direction, skip_second, gradient method, node_order."""
+import numpy as np
+import jax.numpy as jnp
+
+from tensornetworksfork_tpu.core.sweep import (SweepConfig, Sweeper,
+                                               accumulating_sweep)
+from tensornetworksfork_tpu.models.layers import TensorTrainLayer
+from tensornetworksfork_tpu.ops.bregman import SquareBregFunction
+
+
+def _problem(S=64, f=4, seed=0):
+    rng = np.random.default_rng(seed)
+    X = np.concatenate([rng.standard_normal((S, f - 1)).astype(np.float32),
+                        np.ones((S, 1), np.float32)], axis=1)
+    y = (X[:, 0] * X[:, 1]).reshape(-1, 1).astype(np.float32)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def test_eps_schedules():
+    sw = Sweeper(TensorTrainLayer(2, 3, 4, seed=0).network,
+                 SquareBregFunction(), SweepConfig(eps=[1.0, 0.5, 0.25]))
+    # per-half-sweep list indexing (reference network.py:411-416)
+    assert sw._eps_for(0, 0, 2, False) == 1.0
+    assert sw._eps_for(2, 1, 2, False) == 0.25
+    # decay multiplies eps_decay**NS (network.py:416)
+    sw.cfg = SweepConfig(eps=2.0, eps_decay=0.5)
+    assert sw._eps_for(0, 0, 2, False) == 2.0
+    assert sw._eps_for(3, 0, 2, False) == 0.25
+    # eps_per_node indexes by node position (network.py:427-431)
+    sw.cfg = SweepConfig(eps=[0.1, 0.2], eps_per_node=True)
+    assert sw._eps_for(5, 0, 2, False) == 0.1
+    assert sw._eps_for(5, 1, 2, False) == 0.2
+
+
+def test_timeout_aborts():
+    X, y = _problem()
+    layer = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=1)
+    cfg = SweepConfig(num_swipes=50, eps=1e-3, timeout=0.0)
+    params, ok = accumulating_sweep(layer.network, layer.params, X, y,
+                                    SquareBregFunction(), cfg)
+    assert not ok  # timed out immediately, reference return-False contract
+
+
+def test_r2l_direction_and_skip_second():
+    X, y = _problem()
+    layer = TensorTrainLayer(2, 4, 4, output_shape=(1,),
+                             constrict_bond=False, seed=2)
+    cfg = SweepConfig(num_swipes=4, eps=1e-4, direction="r2l",
+                      skip_second=True)
+    params, ok = accumulating_sweep(layer.network, layer.params, X, y,
+                                    SquareBregFunction(), cfg)
+    assert ok
+    pred = np.asarray(layer.network.forward(params,
+                                            layer.network.bind_inputs(X)))
+    assert float(np.sqrt(np.mean((pred - np.asarray(y)) ** 2))) < 0.1
+
+
+def test_gradient_method_descends():
+    X, y = _problem(S=128)
+    layer = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=3)
+    losses = []
+    cfg = SweepConfig(num_swipes=4, method="gradient", lr=0.05,
+                      batch_size=32, adaptive_step=True)
+    params, ok = accumulating_sweep(
+        layer.network, layer.params, X, y, SquareBregFunction(), cfg,
+        loss_callback=lambda ns, n, l: losses.append(l))
+    assert ok
+    assert losses[-1] < losses[0], losses
+
+
+def test_node_order_single_block():
+    """node_order restricted to one node updates only that node (the batch
+    regressor's per-block usage, module.py:413-428)."""
+    X, y = _problem()
+    layer = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=4)
+    t = layer.topology
+    sw = Sweeper(layer.network, SquareBregFunction(),
+                 SweepConfig(num_swipes=1, eps=1e-3, skip_second=True))
+    before = {k: np.asarray(v) for k, v in layer.params.items()}
+    out, ok = sw.run([dict(layer.params)], X, y,
+                     node_order=[(0, t.train_nodes[1])])
+    assert ok
+    a1_name = t.nodes[t.train_nodes[0]].name
+    a2_name = t.nodes[t.train_nodes[1]].name
+    np.testing.assert_array_equal(np.asarray(out[0][a1_name]), before[a1_name])
+    assert not np.array_equal(np.asarray(out[0][a2_name]), before[a2_name])
+
+
+def test_max_norm_projection():
+    X, y = _problem()
+    layer = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=5)
+    cfg = SweepConfig(num_swipes=2, eps=1e-6, max_norm=0.5)
+    params, ok = accumulating_sweep(layer.network, layer.params, X, y,
+                                    SquareBregFunction(), cfg)
+    assert ok
+    for k, v in params.items():
+        assert float(jnp.linalg.norm(v.reshape(-1))) <= 0.5 + 1e-4
