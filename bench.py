@@ -94,17 +94,32 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
-    # fallback chain: if a config fails (compile-service hiccups, OOM), try
-    # the next smaller one — the driver must always receive one JSON line
+    import signal
+
+    class _Watchdog(Exception):
+        pass
+
+    def _alarm(*_):
+        raise _Watchdog("wall-clock watchdog fired")
+
+    signal.signal(signal.SIGALRM, _alarm)
+
+    # fallback chain: if a config fails or hangs (the remote compile service
+    # intermittently wedges), try the next smaller one — the driver must
+    # always receive one JSON line
     order = ["quick", "smoke"] if args.quick else ["full", "quick", "smoke"]
+    budgets = {"full": 1500, "quick": 900, "smoke": 600}
     t_full = None
     used = None
     for name in order:
         try:
+            signal.alarm(budgets[name])
             t_full = our_epoch_seconds(**CONFIGS[name])
+            signal.alarm(0)
             used = name
             break
-        except Exception as e:
+        except BaseException as e:
+            signal.alarm(0)
             log(f"config {name} failed: {type(e).__name__}: {str(e)[:200]}")
     if t_full is None:
         print(json.dumps({"metric": "convtt_mnist_sweep_epochs_per_sec",
@@ -121,6 +136,7 @@ def main():
         red = dict(N=full["N"], r=min(full["r"], 8), CB=min(full["CB"], 4),
                    P=full["P"], pp=full["pp"], C=full["C"], S=2048, batch=512)
         try:
+            signal.alarm(900)
             t_ours_red = our_epoch_seconds(**red)
             from benchmarks.torch_baseline import conv_tt_epoch_seconds
             t0 = time.perf_counter()
@@ -129,7 +145,9 @@ def main():
                 f"(measured in {time.perf_counter()-t0:.1f}s)")
             log(f"ours at reduced config: {t_ours_red:.3f}s/epoch")
             vs_baseline = t_torch_red / t_ours_red
-        except Exception as e:
+            signal.alarm(0)
+        except BaseException as e:
+            signal.alarm(0)
             log(f"baseline comparison failed: {e}")
 
     print(json.dumps({

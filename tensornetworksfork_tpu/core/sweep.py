@@ -526,11 +526,19 @@ class Sweeper:
         def do(job):
             fn, args = job
             out = fn(*args)
-            jax.block_until_ready(jax.tree_util.tree_leaves(out)[:1])
+            # force a real device->host transfer: block_until_ready does not
+            # reliably block on remote-tunnel platforms (CLAUDE.md)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf.reshape(-1)[:1])
             return None
 
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        pool = ThreadPoolExecutor(max_workers=max_workers)
+        try:
             list(pool.map(do, jobs))
+        finally:
+            # don't wait for stuck workers if interrupted (e.g. a caller's
+            # wall-clock watchdog) — abandoned RPCs would block exit
+            pool.shutdown(wait=False, cancel_futures=True)
         return len(jobs)
 
     # ------------------------------------------------------------------- run
