@@ -260,6 +260,32 @@ class Network:
                 a if (a == s or a in out_axes) else primed[a] for a in J_axes
             )
         else:
+            if (self.use_pallas and out_axes
+                    and not any(a in out_axes for a in node_axes)
+                    and all(a in J_axes for a in node_axes)
+                    and set(out_axes) <= set(J_axes)
+                    and len(set(node_axes)) == len(node_axes)
+                    and not jnp.iscomplexobj(J_arr)):
+                # fused Gram-pair TPU kernel (ops/pallas/gram.py):
+                # A = sum_{s,c'} coeff[s,c',i] J[s,c',j],
+                # coeff = sum_c H[s,c,c'] J[s,c,i]
+                from ..ops.pallas.gram import gram_pair, _on_tpu
+                perm = ([J_axes.index(s)]
+                        + [J_axes.index(a) for a in out_axes]
+                        + [J_axes.index(a) for a in node_axes])
+                Jp = jnp.transpose(J_arr, perm)
+                S = Jp.shape[0]
+                C = 1
+                for a in out_axes:
+                    C *= J_arr.shape[J_axes.index(a)]
+                D = Jp.size // (S * C)
+                J3 = Jp.reshape(S, C, D)
+                coeff = jnp.einsum("scd,sci->sdi", hess.reshape(S, C, C),
+                                   J3, precision=self.precision)
+                A = gram_pair(coeff.reshape(S * C, D), J3.reshape(S * C, D),
+                              interpret=not _on_tpu())
+                shape = tuple(J_arr.shape[J_axes.index(a)] for a in node_axes)
+                return A.reshape(shape + shape), b
             H_axes = (s,) + out_axes + tuple(primed[a] for a in out_axes)
             J2_axes = tuple(primed.get(a, a) if a != s else s for a in J_axes)
         keep_A = node_axes + tuple(primed.get(a, a) for a in node_axes)

@@ -92,3 +92,45 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False
 def weighted_gram_auto(J: jax.Array, h: jax.Array) -> jax.Array:
     """weighted_gram with interpret-mode fallback off-TPU."""
     return weighted_gram(J, h, interpret=not _on_tpu())
+
+
+def _pair_kernel(j1_ref, j2_ref, out_ref):
+    tile = jax.lax.dot_general(
+        j1_ref[:], j2_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = tile
+
+    @pl.when(pl.program_id(2) != 0)
+    def _():
+        out_ref[:] = out_ref[:] + tile
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False
+              ) -> jax.Array:
+    """A[d, e] = sum_s J1[s, d] J2[s, e] — the full-Hessian Gram form: with
+    J1 = J reshaped (B*C, D) and J2 = (H-weighted coeff) reshaped, this is
+    the XE-path Gram accumulation (engine.gram_and_rhs full branch)."""
+    B, D = J1.shape
+    BS = min(B, 512)
+    Bp = ((B + BS - 1) // BS) * BS
+    Dp = ((D + TILE - 1) // TILE) * TILE
+    if Dp != D or Bp != B:
+        J1 = jnp.pad(J1, ((0, Bp - B), (0, Dp - D)))
+        J2 = jnp.pad(J2, ((0, Bp - B), (0, Dp - D)))
+    grid = (Dp // TILE, Dp // TILE, Bp // BS)
+    A = pl.pallas_call(
+        _pair_kernel,
+        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BS, TILE), lambda i, j, b: (b, i)),
+            pl.BlockSpec((BS, TILE), lambda i, j, b: (b, j)),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, b: (i, j)),
+        interpret=interpret,
+    )(J1, J2)
+    return A[:D, :D]

@@ -42,3 +42,47 @@ def test_engine_pallas_path_matches_dense(monkeypatch):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_gram_pair_matches_einsum():
+    from tensornetworksfork_tpu.ops.pallas.gram import gram_pair
+    rng = np.random.default_rng(1)
+    B, D = 96, 150
+    J1 = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    J2 = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    A = gram_pair(J1, J2, interpret=True)
+    A_ref = np.einsum("sd,se->de", np.asarray(J1), np.asarray(J2))
+    np.testing.assert_allclose(np.asarray(A), A_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_pallas_full_hessian_path():
+    """XE (full Hessian) gram via the pallas pair kernel == einsum path."""
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.core.engine import Network
+
+    layer = TensorConvolutionTrainLayer(2, 3, 4, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    t = layer.topology
+    net_plain = Network(t, use_pallas=False)
+    net_pallas = Network(t, use_pallas=True)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((8, 4, 5)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 8)])
+    inputs = net_plain.bind_inputs(x)
+    params = layer.params
+    envs_l = net_plain.env_chain(params, inputs, "left")
+    envs_r = net_plain.env_chain(params, inputs, "right")
+    ni = t.main_nodes[1]  # second core: J carries the c axis via left env
+    ci = t.col_of[ni]
+    L = envs_l[ci - 1]
+    R = envs_r[ci + 1] if ci < len(t.columns) - 1 else None
+    J = net_plain.jacobian(ni, params, inputs, L, R)
+    pred = net_plain.predict_from_jacobian(ni, J, params[t.nodes[ni].name])
+    _, g, H = XEBregman(w=1.0)(pred, y)
+    A1, b1 = net_plain.gram_and_rhs(ni, J, g, H)
+    A2, b2 = net_pallas.gram_and_rhs(ni, J, g, H)
+    np.testing.assert_allclose(np.asarray(A2), np.asarray(A1), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=2e-3,
+                               atol=2e-3)
