@@ -89,3 +89,23 @@ def test_uncertainty_loss_shapes():
     assert loss.shape == (5,)
     assert g.shape == (5, 2)
     assert H.shape == (5, 2, 2)
+
+
+def test_estimator_cumsum_type1_and_cpd_type1():
+    X, y = make_regression(S=384, d=3, degree=2, seed=5)
+    for mt, kw in [("tt_type1", dict(cum_sum=True)), ("cpd_type1", {})]:
+        reg = TensorTrainRegressor(N=2, r=4, model_type=mt, num_swipes=4,
+                                   eps_start=1e-2, eps_decay=0.7,
+                                   batch_size=192, seed=5, **kw)
+        reg.fit(X, y)
+        score = reg.score(X, y)
+        assert score > 0.3, (mt, score)
+
+
+def test_estimator_linear_dim_path():
+    X, y = make_regression(S=384, d=6, degree=2, seed=6)
+    reg = TensorTrainRegressor(N=2, r=4, linear_dim=3, num_swipes=6,
+                               eps_start=1e-2, eps_decay=0.7, batch_size=192,
+                               seed=6)
+    reg.fit(X, y)
+    assert reg.score(X, y) > 0.3
