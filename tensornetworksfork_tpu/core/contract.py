@@ -17,7 +17,6 @@ all carriers, then summed once — exactly the reference `CPDNetwork` behaviour
 from __future__ import annotations
 
 import string
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

@@ -13,7 +13,6 @@ driver aborts like the reference's LinAlgError path (network.py:481-484).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import Network, Operand
+from .engine import Network
 from .solve import apply_update, cpd_diag_mask, solve_block
 from .topology import INPUT
 

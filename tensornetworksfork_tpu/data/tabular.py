@@ -10,7 +10,7 @@ protocol (train_tabular.py:13-26).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.sweep import SweepConfig, accumulating_sweep
-from ..data.synthetic import make_regression
 from ..models import growing
 from ..models.layers import TensorConvolutionTrainLayer
 from ..ops.bregman import SquareBregFunction

@@ -12,7 +12,7 @@ utils.metrics.append_results_csv (the reference's results protocol).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 import pandas as pd

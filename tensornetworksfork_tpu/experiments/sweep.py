@@ -11,7 +11,6 @@ once per worker.
 """
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Dict, Optional
 
@@ -21,7 +20,6 @@ from ..models.estimators import TensorTrainRegressor
 from ..ops.bregman import XEBregman
 from ..utils.config import RunConfig
 from ..utils.metrics import accuracy, append_results_csv, r2_score
-from . import train_tabular
 
 # reference search space (wandb_sweep.py:127-151, Sweeps/*.yaml)
 SWEEP_SPACE = {

@@ -10,13 +10,12 @@ eval, tensor_train.py:258-262).
 from __future__ import annotations
 
 import time
-from typing import Callable, List, Optional
 
 import numpy as np
 import jax.numpy as jnp
 
 from ..core.sweep import Member, SweepConfig, Sweeper
-from ..ops.bregman import SquareBregFunction, XEBregman
+from ..ops.bregman import SquareBregFunction
 from .layers import (
     CPDLayer, CumSumLayer, SumLayer, TensorTrainLayer, TensorTrainLinearLayer,
     TNLayer,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.engine import Network
-from ..core.topology import CONST, INPUT, PARAM, NodeSpec, TopologyBuilder
+from ..core.topology import CONST, INPUT, PARAM, TopologyBuilder
 
 
 # ---------------------------------------------------------------------------

@@ -8,7 +8,7 @@ one-pass degree-early-stopping regressor (module.py:502-614).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ with ridge damping. This is the whole model, so no sweep machinery is needed.
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 import jax

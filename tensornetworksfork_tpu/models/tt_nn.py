@@ -15,12 +15,11 @@ them from any loss), and params stay an explicit dict.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..core.solve import apply_update as _apply_step
 from ..core.solve import solve_block
 from .layers import TensorTrainLayer
 
