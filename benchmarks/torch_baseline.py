@@ -158,3 +158,59 @@ def conv_tt_epoch_seconds(N=4, r=8, CB=4, P=50, pp=17, C=9, S=2048,
             except Exception:
                 pass
     return time.perf_counter() - t_start
+
+
+def conv_tt_matvec_seconds(N=3, r=8, CB=4, P=50, pp=17, C=9, S=8192,
+                           batch=2048, n_matvecs=5, seed=0) -> float:
+    """Seconds per Gram matvec, reference scipy_swipe pattern
+    (network.py:896-918): per matvec, per batch, recompute ALL environment
+    stacks, build J, apply two einsums, round-trip through numpy float32.
+    Returns mean seconds per matvec for the middle core."""
+    import numpy as np
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+    g = torch.Generator().manual_seed(seed)
+    X = torch.randn(S, P, pp, generator=g)
+    cores, convs = [], []
+    for i in range(N):
+        rl = 1 if i == 0 else r
+        rr = 1 if i == N - 1 else r
+        c = C if i == 0 else 1
+        cores.append(torch.randn(rl, c, P, rr, generator=g) * 0.1)
+        cl = 1 if i == 0 else CB
+        cr = 1 if i == N - 1 else CB
+        convs.append(torch.randn(cl, pp, cr, generator=g) * 0.1)
+    H = torch.randn(S, C, C, generator=g)
+    H = torch.einsum("sij,skj->sik", H, H) / C  # PSD per-sample Hessian
+
+    def U(i, xb):
+        return torch.einsum("spq,aqb->spab", xb, convs[i])
+
+    def col(i, xb):
+        return torch.einsum("spab,lcpr->slcrab", U(i, xb), cores[i])
+
+    i = 1  # middle core
+    v = torch.randn_like(cores[i])
+    nb = (S + batch - 1) // batch
+    t0 = time.perf_counter()
+    for _ in range(n_matvecs):
+        v_np = v.numpy().astype("float32")  # scipy hands numpy f32 back
+        v_t = torch.tensor(v_np, dtype=torch.float64)
+        Av = torch.zeros_like(v)
+        for b in range(nb):
+            xb = X[b * batch:(b + 1) * batch]
+            Hb = H[b * batch:(b + 1) * batch]
+            # reference recomputes the full stacks EVERY matvec per batch
+            e = col(0, xb)[:, 0, :, :, 0, :]
+            le = e
+            rr_env = col(N - 1, xb).squeeze(2)[:, :, 0, :, 0]
+            for k in range(N - 2, i, -1):
+                tk = col(k, xb).squeeze(2)
+                rr_env = torch.einsum("srtbe,ste->srb", tk, rr_env)
+            J = torch.einsum("scib,spbe,sje->scipj", le, U(i, xb), rr_env)
+            Jv = torch.einsum("scipj,ipj->sc", J, v_t.squeeze(1))
+            coeff = torch.einsum("scd,sd->sc", Hb, Jv)
+            Av += torch.einsum("scipj,sc->ipj", J, coeff).reshape(Av.shape)
+        _ = Av.numpy().astype("float32")
+    return (time.perf_counter() - t0) / n_matvecs
