@@ -281,3 +281,39 @@ class PolynomialRegressionWrapper:
         if self.model is not None:
             return self.model.predict(Xp)
         return Xp @ self._coef
+
+
+if _HAVE_FLAX:
+
+    class SimpleCNN(nn.Module):
+        """Small ConvNet baseline (reference train_mnist_cnn.py:12-60)."""
+        num_classes: int = 10
+        channels: Sequence[int] = (16, 32)
+
+        @nn.compact
+        def __call__(self, x):
+            # x: (B, H, W) or (B, H, W, C)
+            if x.ndim == 3:
+                x = x[..., None]
+            for ch in self.channels:
+                x = nn.relu(nn.Conv(ch, (3, 3))(x))
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = x.reshape(x.shape[0], -1)
+            x = nn.relu(nn.Dense(64)(x))
+            return nn.Dense(self.num_classes)(x)
+
+
+class CNNWrapper(MLPWrapper):
+    """ConvNet classifier trained with AdamW (reference train_mnist_cnn.py)."""
+
+    def __init__(self, num_classes=10, cnn_params=None):
+        p = cnn_params or {}
+        if not _HAVE_FLAX:
+            raise ImportError("flax/optax required for the CNN baseline")
+        self.lr = p.get("lr", 1e-3)
+        self.epochs = p.get("epochs", 5)
+        self.batch_size = p.get("batch_size", 128)
+        self.task = "classification"
+        self.model = SimpleCNN(num_classes, tuple(p.get("channels", (16, 32))))
+        self._params = None
+        self._seed = p.get("seed", 0)
