@@ -280,8 +280,7 @@ class Network:
                 A = gram_pair(M, K, interpret=not _on_tpu())
             else:
                 Mc = M.conj() if jnp.iscomplexobj(M) else M
-                A = jax.lax.dot_general(Mc, K, (((0,), (0,)), ((), ())),
-                                        precision=self.precision)
+                A = _row_chunked_gram(Mc, K, self.precision)
             return A.reshape(node_shape + node_shape), b
 
         # ---- general einsum path ------------------------------------------
@@ -360,6 +359,35 @@ class Network:
                              coeff_keep, self.precision)
         Jc = J_arr.conj() if jnp.iscomplexobj(J_arr) else J_arr
         return contract([(J_axes, Jc), (coeff_keep, coeff)], node_axes, self.precision)
+
+
+def _row_chunked_gram(M: jax.Array, K: jax.Array, precision,
+                      max_rows: int = 4096, max_elems: int = 1 << 26
+                      ) -> jax.Array:
+    """Mᵀ K as one dot_general, row-chunked when the operands are large:
+    very large single dots at HIGHEST precision exceed TPU scratch limits
+    (the multi-pass bf16 strategy widens operands), so accumulate over row
+    blocks — identical result, bounded temporaries."""
+    rows, D = M.shape
+    if rows * D <= max_elems or rows <= max_rows:
+        return jax.lax.dot_general(M, K, (((0,), (0,)), ((), ())),
+                                   precision=precision)
+    rb = max_rows
+    pad = (-rows) % rb
+    if pad:
+        M = jnp.pad(M, ((0, pad), (0, 0)))
+        K = jnp.pad(K, ((0, pad), (0, 0)))
+    nb = M.shape[0] // rb
+    Mb = M.reshape(nb, rb, D)
+    Kb = K.reshape(nb, rb, D)
+
+    def body(acc, mk):
+        m, k = mk
+        return acc + jax.lax.dot_general(m, k, (((0,), (0,)), ((), ())),
+                                         precision=precision), None
+
+    A, _ = jax.lax.scan(body, jnp.zeros((D, D), M.dtype), (Mb, Kb))
+    return A
 
 
 def _embed_diag(hess_diag: jax.Array) -> jax.Array:
