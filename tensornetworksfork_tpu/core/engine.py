@@ -265,22 +265,22 @@ class Network:
             node_shape = tuple(J_arr.shape[J_axes.index(a)] for a in node_axes)
             J3 = Jp.reshape(S, C, D)
             if diag:
-                h = hess.reshape(S, -1)
+                W = hess.reshape(S, -1)
                 if not out_in_J:
-                    h = h.sum(axis=1, keepdims=True)  # C == 1
-                K3 = J3 * h[..., None].astype(J3.dtype)
+                    W = W.sum(axis=1, keepdims=True)  # C == 1
             else:
-                H2 = hess.reshape(S, C, C)
-                K3 = jnp.einsum("scd,sci->sdi", H2.astype(J3.dtype), J3,
-                                precision=self.precision)
-            M = J3.reshape(S * C, D)
-            K = K3.reshape(S * C, D)
+                W = hess.reshape(S, C, C)
             if self.use_pallas and not jnp.iscomplexobj(J_arr):
                 from ..ops.pallas.gram import gram_pair, _on_tpu
-                A = gram_pair(M, K, interpret=not _on_tpu())
+                if diag:
+                    K3 = J3 * W[..., None].astype(J3.dtype)
+                else:
+                    K3 = jnp.einsum("scd,sci->sdi", W.astype(J3.dtype), J3,
+                                    precision=self.precision)
+                A = gram_pair(J3.reshape(S * C, D), K3.reshape(S * C, D),
+                              interpret=not _on_tpu())
             else:
-                Mc = M.conj() if jnp.iscomplexobj(M) else M
-                A = _row_chunked_gram(Mc, K, self.precision)
+                A = _flat_gram(J3, W, diag, self.precision)
             return A.reshape(node_shape + node_shape), b
 
         # ---- general einsum path ------------------------------------------
@@ -361,32 +361,42 @@ class Network:
         return contract([(J_axes, Jc), (coeff_keep, coeff)], node_axes, self.precision)
 
 
-def _row_chunked_gram(M: jax.Array, K: jax.Array, precision,
-                      max_rows: int = 4096, max_elems: int = 1 << 26
-                      ) -> jax.Array:
-    """Mᵀ K as one dot_general, row-chunked when the operands are large:
-    very large single dots at HIGHEST precision exceed TPU scratch limits
-    (the multi-pass bf16 strategy widens operands), so accumulate over row
-    blocks — identical result, bounded temporaries."""
-    rows, D = M.shape
-    if rows * D <= max_elems or rows <= max_rows:
-        return jax.lax.dot_general(M, K, (((0,), (0,)), ((), ())),
+def _flat_gram(J3: jax.Array, W: jax.Array, diag: bool, precision,
+               max_block: int = 512, max_elems: int = 1 << 26) -> jax.Array:
+    """A = sum_s J3ᴴ W J3 over (sample, class) rows, as flattened matmuls.
+
+    ~3x faster than the equivalent multi-axis einsum on TPU. For large
+    operands the pipeline (H-weighting + Mᵀ K dot) runs under a scan over
+    sample blocks: one huge dot at HIGHEST precision exceeds TPU scratch
+    limits and materialising the weighted copy costs a J-sized buffer.
+    Sample blocks are divisors of S, so every reshape is copy-free."""
+    S, C, D = J3.shape
+    Jc = J3.conj() if jnp.iscomplexobj(J3) else J3
+
+    def block_gram(j, jc, w):
+        if diag:
+            k = j * w[..., None].astype(j.dtype)
+        else:
+            k = jnp.einsum("scd,sci->sdi", w.astype(j.dtype), j,
+                           precision=precision)
+        rows = j.shape[0] * C
+        return jax.lax.dot_general(jc.reshape(rows, D), k.reshape(rows, D),
+                                   (((0,), (0,)), ((), ())),
                                    precision=precision)
-    rb = max_rows
-    pad = (-rows) % rb
-    if pad:
-        M = jnp.pad(M, ((0, pad), (0, 0)))
-        K = jnp.pad(K, ((0, pad), (0, 0)))
-    nb = M.shape[0] // rb
-    Mb = M.reshape(nb, rb, D)
-    Kb = K.reshape(nb, rb, D)
 
-    def body(acc, mk):
-        m, k = mk
-        return acc + jax.lax.dot_general(m, k, (((0,), (0,)), ((), ())),
-                                         precision=precision), None
+    if S * C * D <= max_elems:
+        return block_gram(J3, Jc, W)
+    bs = max((d for d in range(max_block, 0, -1) if S % d == 0), default=S)
+    nb = S // bs
+    Jb = J3.reshape((nb, bs) + J3.shape[1:])
+    Jcb = Jc.reshape((nb, bs) + J3.shape[1:])
+    Wb = W.reshape((nb, bs) + W.shape[1:])
 
-    A, _ = jax.lax.scan(body, jnp.zeros((D, D), M.dtype), (Mb, Kb))
+    def body(acc, piece):
+        j, jc, w = piece
+        return acc + block_gram(j, jc, w), None
+
+    A, _ = jax.lax.scan(body, jnp.zeros((D, D), J3.dtype), (Jb, Jcb, Wb))
     return A
 
 
