@@ -180,13 +180,17 @@ class Network:
         return ops
 
     def jacobian_keep(self, ni: int, operands: Sequence[Operand]) -> Tuple[int, ...]:
+        """Jacobian axis order is (s, out axes..., node axes...): downstream
+        Gram flattening then reshapes J without any transpose copy."""
         t = self.topology
         present = set()
         for axes, _ in operands:
             present.update(axes)
-        want = present & (set(t.node_axes[ni]) | set(t.output_axes))
-        want.discard(t.sample_axis)
-        return (t.sample_axis,) + tuple(sorted(want))
+        node_axes = t.node_axes[ni]
+        out_part = tuple(a for a in t.output_axes
+                         if a in present and a not in node_axes)
+        node_part = tuple(dict.fromkeys(a for a in node_axes if a in present))
+        return (t.sample_axis,) + out_part + node_part
 
     def jacobian(self, ni: int, params, inputs, left_env, right_env) -> Operand:
         """Environment of everything except node `ni`: the per-sample Jacobian
@@ -245,6 +249,15 @@ class Network:
             and len(set(J_axes)) == len(J_axes)
         )
         out_in_J = [a for a in out_axes if a in J_axes]
+        if flattenable:
+            # the remote TPU compiler crashes on very large flattened-Gram
+            # update programs (observed at D=16200); those nodes use the
+            # einsum form instead. Tunable: TNF_FLAT_GRAM_MAX_D.
+            D_est = 1
+            for a in node_axes:
+                D_est *= J_arr.shape[J_axes.index(a)]
+            flattenable = D_est <= int(
+                os.environ.get("TNF_FLAT_GRAM_MAX_D", "8192"))
         if flattenable and not diag:
             # full Hessian must cover exactly the out axes present in J
             flattenable = len(out_in_J) == len(out_axes)
@@ -388,15 +401,12 @@ def _flat_gram(J3: jax.Array, W: jax.Array, diag: bool, precision,
         return block_gram(J3, Jc, W)
     bs = max((d for d in range(max_block, 0, -1) if S % d == 0), default=S)
     nb = S // bs
-    Jb = J3.reshape((nb, bs) + J3.shape[1:])
-    Jcb = Jc.reshape((nb, bs) + J3.shape[1:])
-    Wb = W.reshape((nb, bs) + W.shape[1:])
-
-    def body(acc, piece):
-        j, jc, w = piece
-        return acc + block_gram(j, jc, w), None
-
-    A, _ = jax.lax.scan(body, jnp.zeros((D, D), J3.dtype), (Jb, Jcb, Wb))
+    # statically unrolled block loop: a nested lax.scan here (the caller
+    # already scans data chunks) crashes the TPU compiler at flagship shapes
+    A = jnp.zeros((D, D), J3.dtype)
+    for i in range(nb):
+        sl = slice(i * bs, (i + 1) * bs)
+        A = A + block_gram(J3[sl], Jc[sl], W[sl])
     return A
 
 
