@@ -132,3 +132,24 @@ def test_growing_drivers():
     assert len(hist) == 2
     assert hist[1]["carriages"] == 2
     assert all(h["ok"] for h in hist)
+
+
+def test_viz_ascii_fallback():
+    from tensornetworksfork_tpu.models.layers import TensorTrainLayer
+    from tensornetworksfork_tpu.utils.viz import visualize_topology
+    layer = TensorTrainLayer(2, 3, 3, output_shape=(1,), seed=0)
+    out = visualize_topology(layer.topology)
+    assert out is not None
+
+
+def test_timer_rates():
+    import time as _t
+    from tensornetworksfork_tpu.utils.timing import Timer
+    timer = Timer()
+    with timer.phase("x"):
+        _t.sleep(0.01)
+    with timer.phase("x"):
+        _t.sleep(0.01)
+    s = timer.summary()["x"]
+    assert s["count"] == 2 and s["total_s"] >= 0.02
+    assert timer.rate("x") > 0
