@@ -249,15 +249,33 @@ class Network:
             and len(set(J_axes)) == len(J_axes)
         )
         out_in_J = [a for a in out_axes if a in J_axes]
+        big_node = False
         if flattenable:
             # the remote TPU compiler crashes on very large flattened-Gram
-            # update programs (observed at D=16200); those nodes use the
-            # einsum form instead. Tunable: TNF_FLAT_GRAM_MAX_D.
+            # update programs (observed at D=16200); those nodes use a
+            # reshape-free multi-contracting-dim dot instead.
+            # Tunable: TNF_FLAT_GRAM_MAX_D.
             D_est = 1
             for a in node_axes:
                 D_est *= J_arr.shape[J_axes.index(a)]
-            flattenable = D_est <= int(
+            big_node = D_est > int(
                 os.environ.get("TNF_FLAT_GRAM_MAX_D", "8192"))
+        if (flattenable and big_node and not diag
+                and len(out_in_J) == len(out_axes)
+                and tuple(J_axes) == (s,) + tuple(out_in_J) + tuple(node_axes)):
+            # K[s,c',i...] = sum_c H[s,c,c'] J[s,c,i...]; A = sum_{s,c'} Jᴴ K
+            # with (s, out) as joint contracting dims — no reshapes of J.
+            n_out = len(out_in_J)
+            H_axes = (s,) + tuple(out_axes) + tuple(_prime(a) for a in out_axes)
+            K_axes = (s,) + tuple(_prime(a) for a in out_axes) + tuple(node_axes)
+            K = contract([(H_axes, hess), (J_axes, J_arr)], K_axes,
+                         self.precision)
+            cdims = tuple(range(1 + n_out))
+            A = jax.lax.dot_general(Jc, K, ((cdims, cdims), ((), ())),
+                                    precision=self.precision)
+            return A, b
+        if flattenable and big_node:
+            flattenable = False
         if flattenable and not diag:
             # full Hessian must cover exactly the out axes present in J
             flattenable = len(out_in_J) == len(out_axes)
