@@ -210,7 +210,8 @@ class Network:
                         self.precision)
 
     # ------------------------------------------------------------------- A, b
-    def gram_and_rhs(self, ni: int, J: Operand, grad: jax.Array, hess: jax.Array):
+    def gram_and_rhs(self, ni: int, J: Operand, grad: jax.Array,
+                     hess: jax.Array, big_flat_ok: bool = False):
         """A = Jᴴ H J (Gram over node dims), b = Jᴴ g.
 
         grad axes: (s, *output_axes); hess axes (s, *out, *out') for a full
@@ -258,7 +259,7 @@ class Network:
             D_est = 1
             for a in node_axes:
                 D_est *= J_arr.shape[J_axes.index(a)]
-            big_node = D_est > int(
+            big_node = (not big_flat_ok) and D_est > int(
                 os.environ.get("TNF_FLAT_GRAM_MAX_D", "8192"))
         if (flattenable and big_node and not diag
                 and len(out_in_J) == len(out_axes)

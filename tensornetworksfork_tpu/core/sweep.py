@@ -26,6 +26,7 @@ an all-finite flag instead of catching LinAlgError, network.py:481-484).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -236,8 +237,8 @@ class Sweeper:
         return self._jits[key]
 
     def _jit_update(self, mid: int, ni: int, method: str, use_rest: bool,
-                    return_pred: bool, B: int):
-        key = ("upd", mid, ni, method, use_rest, return_pred, B)
+                    return_pred: bool, B: int, split_solve: bool = False):
+        key = ("upd", mid, ni, method, use_rest, return_pred, B, split_solve)
         if key in self._jits:
             return self._jits[key]
         cfg = self.cfg
@@ -252,6 +253,7 @@ class Sweeper:
         spec = t.nodes[ni]
         gradient_mode = method == "gradient"
         loss_fn = self.loss_fn
+        # split_solve captured statically by the closure below
 
         col_input_names = tuple(
             t.nodes[nj].name for nj in t.columns[ci] if t.nodes[nj].kind == INPUT
@@ -385,8 +387,28 @@ class Sweeper:
 
                 (new_core, loss_sum), _ = jax.lax.scan(body, (core, 0.0), pieces)
                 ok = jnp.all(jnp.isfinite(new_core))
+            elif split_solve:
+                # accumulate-only program: keeping the Gram build and the
+                # Cholesky solve in separate XLA programs lets the big-node
+                # 2D flattened Gram compile (the combined program crashes the
+                # remote TPU compiler at flagship sizes)
+                A0 = jnp.zeros(core.shape + core.shape, core.dtype)
+                b0 = jnp.zeros(core.shape, core.dtype)
+
+                def body(carry, piece):
+                    A_acc, b_acc, loss_acc = carry
+                    J = jac(piece, params)
+                    pred = net.predict_from_jacobian(ni, J, core)
+                    if use_rest:
+                        pred = pred + piece["rest"]
+                    loss, g, H = loss_fn(pred, piece["y"])
+                    loss, g, H = weighted(loss, g, H, piece["w"])
+                    A, b = net.gram_and_rhs(ni, J, g, H, big_flat_ok=True)
+                    return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
+
+                (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
+                return A, b, loss_sum
             else:
-                Dn = core.size
                 A0 = jnp.zeros(core.shape + core.shape, core.dtype)
                 b0 = jnp.zeros(core.shape, core.dtype)
 
@@ -421,6 +443,28 @@ class Sweeper:
         jf = jax.jit(fn)
         self._jits[key] = jf
         return jf
+
+    def _jit_solve(self, mid: int, ni: int, method: str):
+        """Solve+apply as its own program (paired with split_solve updates)."""
+        key = ("slv", mid, ni, method)
+        if key in self._jits:
+            return self._jits[key]
+        cfg = self.cfg
+        net = self.members[mid].net
+        spec = net.topology.nodes[ni]
+
+        def fn(core, A, b, eps):
+            mask = None
+            if spec.cpd_mask:
+                mask = cpd_diag_mask(core.shape, spec.labels, spec.left,
+                                     spec.right, core.dtype)
+            step, ok = solve_block(A, b, core, method, eps, cfg.refine)
+            new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
+                                    cfg.max_norm, mask)
+            return new_core, ok
+
+        self._jits[key] = jax.jit(fn)
+        return self._jits[key]
 
     def _jit_member_forward(self, mid: int, B: int):
         """Member forward over pre-chunked inputs -> chunked predictions."""
@@ -504,6 +548,9 @@ class Sweeper:
             if use_rest:
                 jobs.append((self._jit_member_forward(mi, B),
                              (params_list[mi], data["inputs"][mi])))
+        import os as _os
+        split_thresh = int(_os.environ.get("TNF_FLAT_GRAM_MAX_D", "8192"))
+        solve_jobs = []
         for i, (mi, ni) in enumerate(seq):
             t = self.members[mi].net.topology
             if not t.input_nodes:
@@ -514,7 +561,12 @@ class Sweeper:
             R = env_zeros(mi, "right", ci + 1) if ci < ncols - 1 else None
             method = self.cfg.method
             return_pred = use_rest and i == member_last_i[mi]
-            fn = self._jit_update(mi, ni, method, use_rest, return_pred, B)
+            node_size = params_list[mi][t.nodes[ni].name].size
+            split = (method not in ITERATIVE_METHODS and method != "gradient"
+                     and not use_rest and not return_pred
+                     and node_size > split_thresh)
+            fn = self._jit_update(mi, ni, method, use_rest, return_pred, B,
+                                  split_solve=split)
             x0 = None
             if method in ITERATIVE_METHODS:
                 x0 = jnp.zeros((params_list[mi][t.nodes[ni].name].size,),
@@ -522,6 +574,13 @@ class Sweeper:
             jobs.append((fn, (params_list[mi], L, R, data["inputs"][mi],
                               data["y"], data["w"], rest0,
                               jnp.float32(0.1), x0)))
+            if split:
+                core0 = params_list[mi][t.nodes[ni].name]
+                A0 = jnp.zeros(core0.shape + core0.shape, core0.dtype)
+                b0 = jnp.zeros(core0.shape, core0.dtype)
+                solve_jobs.append((self._jit_solve(mi, ni, method),
+                                   (core0, A0, b0, jnp.float32(0.1))))
+        jobs.extend(solve_jobs)
 
         def do(job):
             fn, args = job
@@ -772,7 +831,13 @@ class Sweeper:
                 method = "exact"  # reference network.py:478-479
 
             return_pred = use_rest and i == member_last_i[mi]
-            upd = self._jit_update(mi, ni, method, use_rest, return_pred, B)
+            node_size = params_list[mi][t.nodes[ni].name].size
+            split = (method not in ITERATIVE_METHODS and method != "gradient"
+                     and not use_rest and not return_pred
+                     and node_size > int(os.environ.get(
+                         "TNF_FLAT_GRAM_MAX_D", "8192")))
+            upd = self._jit_update(mi, ni, method, use_rest, return_pred, B,
+                                   split_solve=split)
             x0 = None
             if method in ITERATIVE_METHODS:
                 # warm-start from the previous solution for this node
@@ -781,9 +846,18 @@ class Sweeper:
                 if x0 is None:
                     x0 = jnp.zeros((params_list[mi][
                         t.nodes[ni].name].size,), jnp.float32)
-            new_core, loss_sum, ok, pred, x_sol = upd(
-                params_list[mi], L, R, data["inputs"][mi], data["y"], data["w"],
-                rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
+            if split:
+                A, bvec, loss_sum = upd(
+                    params_list[mi], L, R, data["inputs"][mi], data["y"],
+                    data["w"], rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
+                slv = self._jit_solve(mi, ni, method)
+                new_core, ok = slv(params_list[mi][t.nodes[ni].name], A, bvec,
+                                   jnp.asarray(eps, jnp.float32))
+                pred, x_sol = None, None
+            else:
+                new_core, loss_sum, ok, pred, x_sol = upd(
+                    params_list[mi], L, R, data["inputs"][mi], data["y"],
+                    data["w"], rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
             if x_sol is not None:
                 self._node_sols[(mi, ni)] = x_sol
             if not bool(ok):

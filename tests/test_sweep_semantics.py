@@ -96,3 +96,24 @@ def test_max_norm_projection():
     assert ok
     for k, v in params.items():
         assert float(jnp.linalg.norm(v.reshape(-1))) <= 0.5 + 1e-4
+
+
+def test_split_solve_matches_combined(monkeypatch):
+    """Split accumulate/solve programs == combined (forced via a tiny
+    TNF_FLAT_GRAM_MAX_D so every node takes the split path)."""
+    X, y = _problem(S=96, f=4, seed=11)
+    cfg = SweepConfig(num_swipes=2, eps=1e-3, batch_size=32)
+
+    l1 = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=7)
+    p_comb, ok1 = accumulating_sweep(l1.network, dict(l1.params), X, y,
+                                     SquareBregFunction(), cfg)
+    assert ok1
+
+    monkeypatch.setenv("TNF_FLAT_GRAM_MAX_D", "1")
+    l2 = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=7)
+    p_split, ok2 = accumulating_sweep(l2.network, dict(l2.params), X, y,
+                                      SquareBregFunction(), cfg)
+    assert ok2
+    for k in p_comb:
+        np.testing.assert_allclose(np.asarray(p_split[k]),
+                                   np.asarray(p_comb[k]), rtol=2e-4, atol=2e-4)
