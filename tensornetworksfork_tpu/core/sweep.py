@@ -549,7 +549,8 @@ class Sweeper:
                 jobs.append((self._jit_member_forward(mi, B),
                              (params_list[mi], data["inputs"][mi])))
         import os as _os
-        split_thresh = int(_os.environ.get("TNF_FLAT_GRAM_MAX_D", "8192"))
+        split_thresh = int(_os.environ.get("TNF_SPLIT_SOLVE_MIN_D",
+                                           "999999999"))
         solve_jobs = []
         for i, (mi, ni) in enumerate(seq):
             t = self.members[mi].net.topology
@@ -832,10 +833,13 @@ class Sweeper:
 
             return_pred = use_rest and i == member_last_i[mi]
             node_size = params_list[mi][t.nodes[ni].name].size
+            # experimental: split accumulate/solve programs for very large
+            # nodes (TNF_SPLIT_SOLVE_MIN_D). Off by default — the remote
+            # compiler still rejects flagship-sized flat-Gram programs.
             split = (method not in ITERATIVE_METHODS and method != "gradient"
                      and not use_rest and not return_pred
                      and node_size > int(os.environ.get(
-                         "TNF_FLAT_GRAM_MAX_D", "8192")))
+                         "TNF_SPLIT_SOLVE_MIN_D", "999999999")))
             upd = self._jit_update(mi, ni, method, use_rest, return_pred, B,
                                    split_solve=split)
             x0 = None

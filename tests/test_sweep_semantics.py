@@ -109,7 +109,7 @@ def test_split_solve_matches_combined(monkeypatch):
                                      SquareBregFunction(), cfg)
     assert ok1
 
-    monkeypatch.setenv("TNF_FLAT_GRAM_MAX_D", "1")
+    monkeypatch.setenv("TNF_SPLIT_SOLVE_MIN_D", "1")
     l2 = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=7)
     p_split, ok2 = accumulating_sweep(l2.network, dict(l2.params), X, y,
                                       SquareBregFunction(), cfg)
