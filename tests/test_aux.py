@@ -153,3 +153,21 @@ def test_timer_rates():
     s = timer.summary()["x"]
     assert s["count"] == 2 and s["total_s"] >= 0.02
     assert timer.rate("x") > 0
+
+
+def test_plots_gated():
+    from tensornetworksfork_tpu.experiments import plots
+    import pandas as pd
+    df = pd.DataFrame([{"num_parameters": 10 * (i + 1),
+                        "test_accuracy": 0.8 + 0.02 * i, "N": 2 + i,
+                        "r": 4, "seed": s}
+                       for i in range(3) for s in range(3)])
+    try:
+        fig = plots.frontier_plot(df, group="N")
+        assert fig is not None
+        traj = [{"epoch": e, "val_rmse": 1.0 / (e + 1)} for e in range(5)]
+        assert plots.convergence_plot([traj]) is not None
+        assert plots.seed_table_plot(df, ["N", "r"]) is not None
+    except ImportError:
+        import pytest
+        pytest.skip("matplotlib unavailable")
