@@ -145,3 +145,30 @@ def load_ucirepo(repo_id: Optional[int] = None, name: Optional[str] = None,
         cols.append((cname, col.values, cat))
     X, names = one_hot_with_cap(cols, max_total_width=max_one_hot)
     return X, np.asarray(ydf.values), names
+
+
+def combine_datasets(datasets, seed: int = 42):
+    """Concatenate several prepared split-dicts into one (reference
+    acombinedatasets.py role): feature widths are right-padded with zeros to
+    the max width, splits concatenated and reshuffled."""
+    keys = ["X_train", "y_train", "X_val", "y_val", "X_test", "y_test"]
+    width = max(d["X_train"].shape[1] for d in datasets)
+
+    def padw(X):
+        X = np.asarray(X, np.float32)
+        if X.shape[1] < width:
+            X = np.concatenate(
+                [X, np.zeros((X.shape[0], width - X.shape[1]), np.float32)], 1)
+        return X
+
+    out = {}
+    for k in keys:
+        parts = [padw(d[k]) if k.startswith("X") else np.asarray(d[k])
+                 for d in datasets]
+        out[k] = np.concatenate(parts, axis=0)
+    rng = np.random.RandomState(seed)
+    for prefix in ("train", "val", "test"):
+        idx = rng.permutation(out[f"X_{prefix}"].shape[0])
+        out[f"X_{prefix}"] = out[f"X_{prefix}"][idx]
+        out[f"y_{prefix}"] = out[f"y_{prefix}"][idx]
+    return out

@@ -123,3 +123,16 @@ def test_grid_search_small(tmp_path, monkeypatch):
     assert len(out["test_rows"]) == 2
     import os
     assert os.path.exists("synthetic_ablation_results_tt.csv")
+
+
+def test_combine_datasets():
+    from tensornetworksfork_tpu.data.tabular import (combine_datasets,
+                                                     split_train_val_test)
+    rng = np.random.default_rng(0)
+    d1 = split_train_val_test(rng.standard_normal((50, 3)).astype(np.float32),
+                              rng.standard_normal((50, 1)), seed=1)
+    d2 = split_train_val_test(rng.standard_normal((40, 5)).astype(np.float32),
+                              rng.standard_normal((40, 1)), seed=2)
+    out = combine_datasets([d1, d2])
+    assert out["X_train"].shape == (54, 5)  # 30 + 24, padded to width 5
+    assert out["X_test"].shape[0] == d1["X_test"].shape[0] + d2["X_test"].shape[0]
