@@ -55,3 +55,37 @@ def test_graft_entry_forward():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_sum_network_matches_single():
+    """Type-I sum sweep under the 8-device mesh == single device."""
+    from tensornetworksfork_tpu.core.sweep import Member
+    from tensornetworksfork_tpu.models.layers import SumLayer
+    rng = np.random.default_rng(11)
+    S, f = 64, 4
+    X = jnp.asarray(np.concatenate(
+        [rng.standard_normal((S, f - 1)).astype(np.float32),
+         np.ones((S, 1), np.float32)], axis=1))
+    y = jnp.asarray((np.asarray(X[:, 0]) * np.asarray(X[:, 1])
+                     ).reshape(-1, 1).astype(np.float32))
+    cfg = SweepConfig(num_swipes=2, eps=1e-3, batch_size=32)
+
+    def build():
+        l1 = TensorTrainLayer(1, 1, f, output_shape=(1,), seed=0)
+        l2 = TensorTrainLayer(2, 3, f - 1, output_shape=(1,), seed=1)
+        sl = SumLayer([l1, l2])
+        members = [Member(l.network, fn)
+                   for l, fn in zip(sl.layers, sl.input_fns)]
+        return sl, members
+
+    sl1, m1 = build()
+    p_single, ok1 = Sweeper(m1, SquareBregFunction(), cfg).run(
+        [dict(l.params) for l in sl1.layers], X, y)
+    sl2, m2 = build()
+    p_mesh, ok2 = Sweeper(m2, SquareBregFunction(), cfg).run(
+        [dict(l.params) for l in sl2.layers], X, y, mesh=make_mesh(8))
+    assert ok1 and ok2
+    for pa, pb in zip(p_single, p_mesh):
+        for k in pa:
+            np.testing.assert_allclose(np.asarray(pa[k]), np.asarray(pb[k]),
+                                       rtol=5e-3, atol=5e-3)
