@@ -178,3 +178,33 @@ def test_concatenate_trains():
     y2 = np.asarray(l2(x))
     ym = np.asarray(merged(x))
     np.testing.assert_allclose(ym, (y1 + y2) / 2, rtol=1e-3, atol=1e-3)
+
+
+def test_operator_ring_topology():
+    """Ring bonds span every column; env-keep carries them correctly."""
+    f, N, r = 3, 3, 2
+    mid = np.random.default_rng(0).standard_normal((r, f, f, r)).astype(np.float32)
+    layer = OperatorTTLayer(mid, f, 3, N, output_shape=(1,), ring=True, seed=0)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((5, f)),
+                    jnp.float32)
+    y = layer(x)
+    assert y.shape == (5, 1) and bool(jnp.all(jnp.isfinite(y)))
+    X = jnp.asarray(np.random.default_rng(2).standard_normal((64, f)),
+                    jnp.float32)
+    Y = jnp.asarray(np.random.default_rng(3).standard_normal((64, 1)),
+                    jnp.float32)
+    params, ok = accumulating_sweep(layer.network, layer.params, X, Y,
+                                    SquareBregFunction(),
+                                    SweepConfig(num_swipes=2, eps=1e-2))
+    assert ok
+
+
+def test_tnml_polynomial_basis():
+    from tensornetworksfork_tpu.models.tnml import TNMLRegressor
+    rng = np.random.default_rng(9)
+    X = rng.uniform(-1, 1, (384, 3)).astype(np.float32)
+    y = (X[:, 0] ** 2 * X[:, 1] - X[:, 2]).astype(np.float32)
+    reg = TNMLRegressor(r=6, basis="polynomial", degree=3, num_swipes=6,
+                        eps_start=1e-4, eps_decay=0.8, batch_size=192, seed=0)
+    reg.fit(X, y)
+    assert reg.score(X, y) > 0.9
