@@ -10,9 +10,12 @@ plain QR of the bond-last matrix and push Rᵀ — an equivalent gauge (the gaug
 factor is only defined up to the pushed invertible matrix) with the same
 orthonormality property, chosen because it lowers to a single XLA QR kernel.
 
-Shape-preserving only: if the QR would shrink the bond (more bond columns than
-remaining rows) we skip the node, since XLA requires static shapes. The
-reference would silently change the node shape in that case.
+Static shapes: where the reference shrinks the bond when the QR is wide
+(more bond columns than remaining rows, network.py:625-707 reshapes the
+node), XLA requires static shapes, so the wide case zero-pads instead:
+core' = [Q | 0] and the pushed factor [R; 0] — the forward map stays exactly
+invariant and the core is orthonormal on its support (Q'ᵀQ' = diag(I, 0)),
+which is the conditioning property the gauge exists for.
 """
 from __future__ import annotations
 
@@ -34,6 +37,22 @@ def _bond_axis(net: Network, ni: int, nj: int) -> tuple:
     return t.node_axes[ni].index(a), t.node_axes[nj].index(a)
 
 
+def _padded_qr(mat: jnp.ndarray) -> tuple:
+    """QR with Q padded to mat's column count and R square.
+
+    For rows >= bond this is plain reduced QR. For the wide case (rows <
+    bond, where the reference shrinks the node) Q gets zero columns and R
+    zero rows, so Q_pad @ R_pad == mat with static shapes."""
+    rows, bond = mat.shape
+    Q, R = jnp.linalg.qr(mat, mode="reduced")
+    if rows < bond:
+        Q = jnp.concatenate(
+            [Q, jnp.zeros((rows, bond - rows), Q.dtype)], axis=1)
+        R = jnp.concatenate(
+            [R, jnp.zeros((bond - rows, bond), R.dtype)], axis=0)
+    return Q, R
+
+
 def orthonormalize_left(net: Network, params: Dict, k: int) -> Dict:
     """Left-orthonormalize main node k, pushing R into main node k+1
     (reference node_orthonormalize_left, network.py:625-660)."""
@@ -46,10 +65,8 @@ def orthonormalize_left(net: Network, params: Dict, k: int) -> Dict:
     core = params[name_i]
     moved = jnp.moveaxis(core, pi, -1)
     rows = core.size // core.shape[pi]
-    if rows < core.shape[pi]:
-        return params  # would shrink the bond; skip (see module docstring)
     mat = moved.reshape(rows, core.shape[pi])
-    Q, R = jnp.linalg.qr(mat, mode="reduced")
+    Q, R = _padded_qr(mat)
     new_core = jnp.moveaxis(Q.reshape(moved.shape), -1, pi)
     nxt = jnp.moveaxis(params[name_j], pj, 0)
     new_nxt = jnp.moveaxis(jnp.tensordot(R, nxt, axes=[[1], [0]]), 0, pj)
@@ -68,10 +85,8 @@ def orthonormalize_right(net: Network, params: Dict, k: int) -> Dict:
     core = params[name_i]
     moved = jnp.moveaxis(core, pi, -1)  # (rest..., bond)
     rows = core.size // core.shape[pi]
-    if rows < core.shape[pi]:
-        return params
     mat = moved.reshape(rows, core.shape[pi])
-    Q, R = jnp.linalg.qr(mat, mode="reduced")
+    Q, R = _padded_qr(mat)
     # core = Q R  =>  keep Q (orthonormal over non-bond dims), push Rᵀ so that
     # prev'[..., i] = sum_j prev[..., j] R[i, j]  preserves the contraction.
     new_core = jnp.moveaxis(Q.reshape(moved.shape), -1, pi)

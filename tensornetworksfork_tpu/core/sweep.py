@@ -91,17 +91,19 @@ class Sweeper:
         self._node_sols: Dict = {}
 
     # ------------------------------------------------------------------ data
-    def _prepare(self, x, y, sample_weight, mesh=None):
+    def _prepare(self, x, y, sample_weight, mesh=None, model_labels=()):
         """Pads the sample axis and stores everything pre-chunked as
         (nchunks, B, ...). With a mesh, the per-chunk sample axis (dim 1) is
         sharded over 'data' — padding rows carry weight 0, so the sharded
-        accumulation is exact (SURVEY.md §5.8)."""
+        accumulation is exact (SURVEY.md §5.8). With a 2-D (data, model) mesh
+        and `model_labels`, input axes carrying those topology labels also
+        shard over 'model' (tensor parallelism; SURVEY.md §2.9 TP row)."""
         S = int(y.shape[0])
         B = self.cfg.batch_size
         if B is None or B <= 0 or B > S:
             B = S
         if mesh is not None:
-            ndev = mesh.devices.size
+            ndev = dict(mesh.shape).get("data", mesh.devices.size)
             B = ((B + ndev - 1) // ndev) * ndev
         P = ((S + B - 1) // B) * B
         pad = P - S
@@ -126,10 +128,20 @@ class Sweeper:
             "P": P,
         }
         if mesh is not None:
-            from ..parallel.mesh import shard_chunked
+            from ..parallel.mesh import shard_chunked, shard_chunked_inputs
             data["y"] = shard_chunked(data["y"], mesh)
             data["w"] = shard_chunked(data["w"], mesh)
-            data["inputs"] = [shard_chunked(d, mesh) for d in data["inputs"]]
+            if model_labels and "model" in mesh.axis_names:
+                sharded = []
+                for mi, m in enumerate(self.members):
+                    t = m.net.topology
+                    labels = {t.nodes[ni].name: t.nodes[ni].labels
+                              for ni in t.input_nodes}
+                    sharded.append(shard_chunked_inputs(
+                        data["inputs"][mi], mesh, labels, model_labels))
+                data["inputs"] = sharded
+            else:
+                data["inputs"] = [shard_chunked(d, mesh) for d in data["inputs"]]
         return data
 
     # ------------------------------------------------------------- jit: envs
@@ -604,11 +616,18 @@ class Sweeper:
     # ------------------------------------------------------------------- run
     def run(self, params_list, x, y, *, sample_weight=None,
             convergence_criterion=None, block_callback=None, loss_callback=None,
-            node_order: Optional[Sequence] = None, mesh=None):
+            node_order: Optional[Sequence] = None, mesh=None,
+            model_axis_labels: Sequence[str] = ()):
         """Runs num_swipes * (first pass, second pass). Returns
         (params_list, success) — success False on timeout or singular solve,
         matching the reference's return-False contract (network.py:434-445,
-        481-484)."""
+        481-484).
+
+        mesh: optional jax Mesh. 1-D ('data',) shards the sample axis (exact
+        DP). A 2-D ('data', 'model') mesh plus `model_axis_labels` (topology
+        labels, e.g. ('patches',)) additionally shards those input axes over
+        'model': the Gram accumulation runs tensor-parallel with XLA inserting
+        the reduction collectives; params stay replicated."""
         cfg = self.cfg
         if isinstance(params_list, dict):
             params_list = [params_list]
@@ -617,7 +636,8 @@ class Sweeper:
         # params through sweeper.params_list (the reference reads the mutable
         # node graph directly, models/tensor_train.py:258-262)
         self.params_list = params_list
-        data = self._prepare(x, y, sample_weight, mesh)
+        data = self._prepare(x, y, sample_weight, mesh,
+                             model_labels=tuple(model_axis_labels))
         if mesh is not None:
             from ..parallel.mesh import replicate
             for mi in range(len(params_list)):
@@ -646,13 +666,14 @@ class Sweeper:
                 if pass_idx == 1 and cfg.skip_second:
                     continue
                 if pass_idx == 0:
-                    order = list(seq) if cfg.direction == "l2r" else list(reversed(seq))
+                    reversed_pass = cfg.direction != "l2r"
                 else:
-                    order = list(reversed(seq)) if cfg.direction == "l2r" else list(seq)
+                    reversed_pass = cfg.direction == "l2r"
+                order = list(reversed(seq)) if reversed_pass else list(seq)
                 ok, stop, last_other = self._half_pass(
                     params_list, data, order, NS, last_other, use_rest,
                     y_members, start, convergence_criterion, block_callback,
-                    loss_callback)
+                    loss_callback, reversed_pass=reversed_pass)
                 NS += 1
                 if not ok:
                     return params_list, False
@@ -662,6 +683,12 @@ class Sweeper:
 
     # ------------------------------------------------------------- half pass
     def _eps_for(self, NS: int, node_i: int, n_nodes: int, reverse: bool):
+        """eps for the node at position `node_i` of the current pass order.
+
+        With eps_per_node, the eps list indexes the CANONICAL train order in
+        both directions (reference network.py:427-431 and the second-pass
+        mirror at :528-533): on a reversed pass the index is flipped so node
+        k of the canonical order always receives eps[k]."""
         cfg = self.cfg
         if cfg.eps_per_node:
             if isinstance(cfg.eps, (list, tuple)):
@@ -675,7 +702,7 @@ class Sweeper:
 
     def _half_pass(self, params_list, data, order, NS, last_other, use_rest,
                    y_members, start, convergence_criterion, block_callback,
-                   loss_callback):
+                   loss_callback, reversed_pass: bool = False):
         cfg = self.cfg
         S, B = data["S"], data["B"]
         n_nodes = len(order)
@@ -779,7 +806,7 @@ class Sweeper:
 
             if not t.input_nodes:
                 # input-less network (baked-in data): standalone full-batch path
-                eps = self._eps_for(NS, i, n_nodes, reverse=False)
+                eps = self._eps_for(NS, i, n_nodes, reverse=reversed_pass)
                 method = cfg.method
                 if eps == 0 and method == "ridge_exact":
                     method = "exact"
@@ -826,7 +853,7 @@ class Sweeper:
                 L = far_envs[mi][ci - 1] if ci > 0 else None
                 R = near_env[mi]
 
-            eps = self._eps_for(NS, i, n_nodes, reverse=False)
+            eps = self._eps_for(NS, i, n_nodes, reverse=reversed_pass)
             method = cfg.method
             if eps == 0 and method == "ridge_exact":
                 method = "exact"  # reference network.py:478-479

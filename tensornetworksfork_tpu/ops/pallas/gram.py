@@ -108,29 +108,36 @@ def _pair_kernel(j1_ref, j2_ref, out_ref):
         out_ref[:] = out_ref[:] + tile
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False
-              ) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "block"))
+def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
+              tile: int = 256, block: int = 512) -> jax.Array:
     """A[d, e] = sum_s J1[s, d] J2[s, e] — the full-Hessian Gram form: with
     J1 = J reshaped (B*C, D) and J2 = (H-weighted coeff) reshaped, this is
-    the XE-path Gram accumulation (engine.gram_and_rhs full branch)."""
+    the XE-path Gram accumulation (engine.gram_and_rhs full branch).
+
+    Accumulates in f32 regardless of input dtype (pass bf16 inputs for the
+    single-pass MXU mode). Grid (D/tile, D/tile, B/block) with the sample
+    blocks innermost so each output tile stays VMEM-resident across the
+    reduction; `tile` > 128 (MXU native) raises arithmetic intensity —
+    HBM traffic scales as 1/tile, which is what makes the flagship
+    D=16200 Gram compute-bound instead of load-bound."""
     B, D = J1.shape
-    BS = min(B, 512)
+    BS = min(B, block)
     Bp = ((B + BS - 1) // BS) * BS
-    Dp = ((D + TILE - 1) // TILE) * TILE
+    Dp = ((D + tile - 1) // tile) * tile
     if Dp != D or Bp != B:
         J1 = jnp.pad(J1, ((0, Bp - B), (0, Dp - D)))
         J2 = jnp.pad(J2, ((0, Bp - B), (0, Dp - D)))
-    grid = (Dp // TILE, Dp // TILE, Bp // BS)
+    grid = (Dp // tile, Dp // tile, Bp // BS)
     A = pl.pallas_call(
         _pair_kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BS, TILE), lambda i, j, b: (b, i)),
-            pl.BlockSpec((BS, TILE), lambda i, j, b: (b, j)),
+            pl.BlockSpec((BS, tile), lambda i, j, b: (b, i)),
+            pl.BlockSpec((BS, tile), lambda i, j, b: (b, j)),
         ],
-        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, b: (i, j)),
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j, b: (i, j)),
         interpret=interpret,
     )(J1, J2)
     return A[:D, :D]

@@ -32,6 +32,27 @@ def shard_chunked(tree, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(put, tree)
 
 
+def shard_chunked_inputs(inputs: dict, mesh: Mesh, labels_by_name: dict,
+                         model_labels=(), data_axis: str = "data",
+                         model_axis: str = "model") -> dict:
+    """2-D data x model sharding of a chunked input dict.
+
+    Each value is (nchunks, B, *rest); dim 1 (samples) shards over the data
+    axis and any rest-dim whose topology label is in `model_labels` (e.g.
+    'patches' — this framework's sequence analogue, SURVEY.md §5.7) shards
+    over the model axis. Downstream contractions over a model-sharded axis
+    make XLA insert the reduction collectives — tensor parallelism without
+    the engine mentioning devices."""
+    out = {}
+    for name, x in inputs.items():
+        labels = labels_by_name.get(name, ())
+        rest = [model_axis if lbl in model_labels else None
+                for lbl in labels if lbl != "s"]
+        spec = P(None, data_axis, *rest) if getattr(x, "ndim", 0) >= 2 else P()
+        out[name] = jax.device_put(x, NamedSharding(mesh, spec))
+    return out
+
+
 def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

@@ -143,6 +143,40 @@ def test_qr_gauge_preserves_forward():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_qr_gauge_wide_core_bond_shrink():
+    """f < r: the QR is wide (rows < bond). Where the reference reshapes the
+    node (network.py:625-707), the static-shape build zero-pads — forward
+    must stay invariant and each core orthonormal on its support."""
+    f, r = 2, 6
+    layer = TensorTrainLayer(3, r, f, output_shape=(1,), seed=7,
+                             constrict_bond=False)
+    net = layer.network
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((5, f)),
+                    jnp.float32)
+    inputs = net.bind_inputs(x)
+    before = np.asarray(net.forward(layer.params, inputs))
+    p = gauges.orthonormalize_all_left(net, layer.params)
+    np.testing.assert_allclose(np.asarray(net.forward(p, inputs)), before,
+                               rtol=1e-4, atol=1e-4)
+    t = net.topology
+    for k in range(len(t.main_nodes) - 1):
+        ni, nj = t.main_nodes[k], t.main_nodes[k + 1]
+        core = np.asarray(p[t.nodes[ni].name])
+        shared = (set(t.node_axes[ni]) & set(t.node_axes[nj])) - {t.sample_axis}
+        pi = t.node_axes[ni].index(shared.pop())
+        bond = core.shape[pi]
+        mat = np.moveaxis(core, pi, -1).reshape(-1, bond)
+        rank = min(mat.shape)
+        G = mat.T @ mat
+        want = np.diag(np.concatenate([np.ones(rank), np.zeros(bond - rank)]))
+        np.testing.assert_allclose(G, want, atol=1e-4)
+        assert rank < bond or k > 0  # the first core really was the wide case
+    # right gauge on the wide chain must also stay forward-invariant
+    p2 = gauges.orthonormalize_all_right(net, layer.params)
+    np.testing.assert_allclose(np.asarray(net.forward(p2, inputs)), before,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_tt_linear_layer_trains():
     rng = np.random.default_rng(7)
     S, f, ld = 128, 6, 3

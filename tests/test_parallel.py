@@ -89,3 +89,39 @@ def test_sharded_sum_network_matches_single():
         for k in pa:
             np.testing.assert_allclose(np.asarray(pa[k]), np.asarray(pb[k]),
                                        rtol=5e-3, atol=5e-3)
+
+
+def test_model_axis_sharded_training_matches_single():
+    """2-D (data, model) mesh: conv-TT Gauss-Newton sweep with the patches
+    axis sharded over 'model' == single-device sweep (SURVEY.md §2.9 TP row).
+    XLA inserts the reduction collectives at the Gram contractions."""
+    from jax.sharding import Mesh
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    rng = np.random.default_rng(5)
+    S, P, pp, C = 32, 8, 5, 3  # P divisible by the model axis (4)
+    x = jnp.asarray(rng.standard_normal((S, P, pp)), jnp.float32)
+    y = jnp.asarray(np.eye(C + 1, dtype=np.float32)[rng.integers(0, C + 1, S)])
+    cfg = SweepConfig(num_swipes=1, eps=1.0, method="ridge_cholesky",
+                      batch_size=16)
+
+    def build():
+        return TensorConvolutionTrainLayer(
+            num_carriages=2, bond_dim=3, num_patches=P, patch_pixels=pp,
+            output_shape=(C,), convolution_bond=2, seed=7)
+
+    l1 = build()
+    p_single, ok1 = Sweeper(l1.network, XEBregman(w=1.0), cfg).run(
+        [dict(l1.params)], x, y)
+    assert ok1
+
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+    l2 = build()
+    p_tp, ok2 = Sweeper(l2.network, XEBregman(w=1.0), cfg).run(
+        [dict(l2.params)], x, y, mesh=mesh2, model_axis_labels=("patches",))
+    assert ok2
+    for k in p_single[0]:
+        np.testing.assert_allclose(np.asarray(p_single[0][k]),
+                                   np.asarray(p_tp[0][k]),
+                                   rtol=5e-3, atol=5e-3)

@@ -33,6 +33,40 @@ def test_eps_schedules():
     assert sw._eps_for(5, 1, 2, False) == 0.2
 
 
+def test_eps_per_node_reversed_pass():
+    """On the reversed half-sweep each node keeps ITS eps: the list indexes
+    the canonical train order in both directions (network.py:427-431 and the
+    second-pass mirror at :528-533)."""
+    X, y = _problem()
+    layer = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=3)
+    cfg = SweepConfig(num_swipes=1, eps=[10.0, 0.5], eps_per_node=True)
+    sw = Sweeper(layer.network, SquareBregFunction(), cfg)
+    names = [layer.network.topology.nodes[ni].name
+             for ni in sw.members[0].train_nodes]
+    seen = []  # (node position in pass order -> eps) via the real call sites
+    orig = sw._eps_for
+
+    def spy(NS, i, n, reverse):
+        e = orig(NS, i, n, reverse)
+        seen.append((NS, i, reverse, e))
+        return e
+
+    sw._eps_for = spy
+    _, ok = sw.run([layer.params], X, y)
+    assert ok
+    fwd = [(i, e) for NS, i, rev, e in seen if NS == 0]
+    bwd = [(i, e) for NS, i, rev, e in seen if NS == 1]
+    # forward pass: order == canonical, eps[i]
+    assert fwd == [(0, 10.0), (1, 0.5)]
+    # reversed pass: position 0 is the LAST canonical node -> eps flipped.
+    # (junction rule skips the first node of the reversed pass only when it
+    # shares a column with the previous pass's last node — here it does, so
+    # only position 1 runs; it must get the canonical eps of node 0.)
+    assert all(e == 10.0 for i, e in bwd if i == 1)
+    assert all(e == 0.5 for i, e in bwd if i == 0)
+    assert len(names) == 2
+
+
 def test_timeout_aborts():
     X, y = _problem()
     layer = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=1)
