@@ -73,10 +73,15 @@ def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=2, seed=0):
     for e in range(n_epochs):
         t0 = time.perf_counter()
         params, ok = sweeper.run(params, X, y)
-        jax.block_until_ready(next(iter(params[0].values())))
+        # force a real device->host fetch: block_until_ready does not
+        # reliably block on the axon tunnel platform (CLAUDE.md)
+        float(jnp.sum(next(iter(params[0].values()))))
         times.append(time.perf_counter() - t0)
     log(f"ours: steady epochs: {[f'{t:.3f}' for t in times]}")
-    return min(times)
+
+    from tensornetworksfork_tpu.utils.flops import epoch_flops
+    flops = epoch_flops(sweeper, X, y)["total"]
+    return min(times), flops
 
 
 CONFIGS = {
@@ -110,11 +115,12 @@ def main():
     order = ["quick", "smoke"] if args.quick else ["full", "quick", "smoke"]
     budgets = {"full": 1500, "quick": 900, "smoke": 600}
     t_full = None
+    flops = None
     used = None
     for name in order:
         try:
             signal.alarm(budgets[name])
-            t_full = our_epoch_seconds(**CONFIGS[name])
+            t_full, flops = our_epoch_seconds(**CONFIGS[name])
             signal.alarm(0)
             used = name
             break
@@ -130,6 +136,20 @@ def main():
     log(f"ours[{used}]: {t_full:.3f}s/epoch -> {epochs_per_sec:.4f} epochs/s")
 
     vs_baseline = None
+    vs_flagship = None
+    if not args.skip_baseline and used == "full":
+        # flagship-shape anchor (VERDICT r01 weak #2): measured torch-f64
+        # kernel rates extrapolated to the flagship epoch (a direct
+        # measurement is days of CPU time; see torch_baseline.py docstring)
+        try:
+            from benchmarks.torch_baseline import (
+                flagship_epoch_seconds_extrapolated)
+            t_torch_flag = flagship_epoch_seconds_extrapolated()
+            vs_flagship = t_torch_flag / t_full
+            log(f"baseline[flagship-extrapolated]: torch-cpu f64 "
+                f"~{t_torch_flag:.0f}s/epoch -> {vs_flagship:.0f}x")
+        except BaseException as e:
+            log(f"flagship anchor failed: {e}")
     if not args.skip_baseline:
         # reduced common config for the torch-CPU baseline ratio
         full = CONFIGS[used]
@@ -137,7 +157,7 @@ def main():
                    P=full["P"], pp=full["pp"], C=full["C"], S=2048, batch=512)
         try:
             signal.alarm(900)
-            t_ours_red = our_epoch_seconds(**red)
+            t_ours_red, _ = our_epoch_seconds(**red)
             from benchmarks.torch_baseline import conv_tt_epoch_seconds
             t0 = time.perf_counter()
             t_torch_red = conv_tt_epoch_seconds(**red)
@@ -150,12 +170,25 @@ def main():
             signal.alarm(0)
             log(f"baseline comparison failed: {e}")
 
+    from tensornetworksfork_tpu.utils.flops import device_peak_flops, mfu
+    achieved = flops / t_full if flops else None
+    util = mfu(flops, t_full) if flops else None
+    if achieved:
+        log(f"ours[{used}]: {flops/1e12:.1f} TFLOPs/epoch -> "
+            f"{achieved/1e12:.2f} TFLOP/s achieved"
+            + (f" ({util*100:.1f}% of bf16 peak)" if util else ""))
     print(json.dumps({
         "metric": "convtt_mnist_sweep_epochs_per_sec",
         "value": round(epochs_per_sec, 4),
         "unit": "epochs/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "vs_baseline_flagship_extrapolated":
+            round(vs_flagship, 1) if vs_flagship else None,
         "config": used,
+        "epoch_tflops": round(flops / 1e12, 2) if flops else None,
+        "achieved_tflops_per_sec": round(achieved / 1e12, 3) if achieved else None,
+        "mfu_vs_bf16_peak": round(util, 4) if util else None,
+        "precision": os.environ.get("TNF_PRECISION", "highest"),
     }))
 
 

@@ -12,8 +12,11 @@ Run one variant per process (the remote compiler crash kills the process):
 variants: curr | flat | pallas128 | pallas256 | pallas512 | pallas256bf16 |
           pallas512bf16
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -68,7 +71,12 @@ def main():
         from tensornetworksfork_tpu.ops.pallas.gram import gram_pair
         tail = variant[len("pallas"):]
         bf16 = tail.endswith("bf16")
-        tile = int(tail[:-4] if bf16 else tail)
+        if bf16:
+            tail = tail[:-4]
+        sym = tail.endswith("sym")
+        if sym:
+            tail = tail[:-3]
+        tile = int(tail)
 
         @jax.jit
         def f(J, H):
@@ -76,7 +84,26 @@ def main():
             J2, K2 = J.reshape(B * C, D), K.reshape(B * C, D)
             if bf16:
                 J2, K2 = J2.astype(jnp.bfloat16), K2.astype(jnp.bfloat16)
-            return gram_pair(J2, K2, tile=tile)
+            return gram_pair(J2, K2, tile=tile, symmetric=sym)
+    elif variant == "chol":
+        # the per-node ridge-Cholesky solve at flagship D (solve.py analogue)
+        A0 = jnp.eye(D, dtype=jnp.float32) * 3.0 + 0.01
+        bvec = jnp.ones((D,), jnp.float32)
+
+        @jax.jit
+        def f(A0, bvec):
+            import jax.scipy.linalg as jsl
+            cf = jsl.cho_factor(A0)
+            return jsl.cho_solve(cf, bvec)
+
+        t = timeit(f, A0, bvec)
+        print(f"chol: D={D}  {t*1e3:.1f} ms  "
+              f"{(D**3/3)/t/1e12:.2f} TFLOP/s")
+        return
+    elif variant == "kbuild":
+        @jax.jit
+        def f(J, H):
+            return build_K(J, H)
     else:
         raise SystemExit(f"unknown variant {variant}")
 

@@ -160,6 +160,52 @@ def conv_tt_epoch_seconds(N=4, r=8, CB=4, P=50, pp=17, C=9, S=2048,
     return time.perf_counter() - t_start
 
 
+def flagship_epoch_seconds_extrapolated(N=4, r=18, CB=8, P=50, pp=17, C=9,
+                                        S=53248, D_probe=2592, S_probe=192,
+                                        seed=0, verbose=False):
+    """Extrapolated torch-CPU-f64 epoch seconds at the FLAGSHIP shapes.
+
+    A measured flagship epoch is infeasible (the D=16200 Gram alone is
+    ~2.5e14 f64 flops per node-pass — days on this host), so this measures
+    the achieved torch f64 flop rate on the two dominant kernels at a
+    measurable size — the flat Gram matmul Mᵀ(WM) and the Cholesky solve —
+    and scales analytically to the flagship epoch (Gram + solve flops only;
+    env/Jacobian recompute terms are DROPPED, which strictly favours the
+    baseline). Rates measured at D_probe=2592 (= r·P·r for r=18, P=8).
+    """
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+    g = torch.Generator().manual_seed(seed)
+    M = torch.randn(S_probe * C, D_probe, generator=g)
+    w = torch.rand(S_probe * C, 1, generator=g) + 0.5
+
+    t0 = time.perf_counter()
+    A = M.T @ (w * M)
+    t_gram = time.perf_counter() - t0
+    gram_rate = 2.0 * S_probe * C * D_probe ** 2 / t_gram
+
+    A = A / A.diagonal().abs().mean() + 2.0 * torch.eye(D_probe)
+    t0 = time.perf_counter()
+    L = torch.linalg.cholesky(A)
+    torch.cholesky_solve(torch.ones(D_probe, 1), L)
+    t_chol = time.perf_counter() - t0
+    chol_rate = (D_probe ** 3 / 3) / t_chol
+
+    # flagship per-epoch flops (2 half-sweeps over cores + conv blocks)
+    core_D = [C * P * r] + [r * P * r] * (N - 2) + [r * P]
+    conv_D = [pp * CB] + [CB * pp * CB] * (N - 2) + [CB * pp]
+    Ds = core_D + conv_D
+    gram_flops = 2 * sum(2.0 * S * C * D * D for D in Ds)
+    chol_flops = 2 * sum(D ** 3 / 3 for D in Ds)
+    t_est = gram_flops / gram_rate + chol_flops / chol_rate
+    if verbose:
+        print(f"torch f64 rates: gram {gram_rate/1e9:.1f} GFLOP/s, "
+              f"chol {chol_rate/1e9:.1f} GFLOP/s -> flagship epoch "
+              f"~{t_est:.0f}s ({t_est/3600:.1f}h)")
+    return t_est
+
+
 def conv_tt_matvec_seconds(N=3, r=8, CB=4, P=50, pp=17, C=9, S=8192,
                            batch=2048, n_matvecs=5, seed=0) -> float:
     """Seconds per Gram matvec, reference scipy_swipe pattern

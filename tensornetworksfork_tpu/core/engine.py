@@ -271,6 +271,23 @@ class Network:
             K_axes = (s,) + tuple(_prime(a) for a in out_axes) + tuple(node_axes)
             K = contract([(H_axes, hess), (J_axes, J_arr)], K_axes,
                          self.precision)
+            if self.use_pallas and not jnp.iscomplexobj(J_arr):
+                # Pallas tiled-syrk path: the XLA flat-2D dot at this size
+                # crashes the remote TPU compiler (CLAUDE.md), but the Mosaic
+                # kernel compiles and runs the same flattened matmul — this
+                # recovers the measured ~3x over the multi-contracting-dim
+                # dot at flagship shapes (benchmarks/gram_bench.py).
+                from ..ops.pallas.gram import gram_pair, _on_tpu
+                S_sz = J_arr.shape[0]
+                C_sz = 1
+                for a in out_in_J:
+                    C_sz *= J_arr.shape[J_axes.index(a)]
+                node_shape = tuple(J_arr.shape[J_axes.index(a)]
+                                   for a in node_axes)
+                A = gram_pair(Jc.reshape(S_sz * C_sz, D_est),
+                              K.reshape(S_sz * C_sz, D_est),
+                              interpret=not _on_tpu(), symmetric=True)
+                return A.reshape(node_shape + node_shape), b
             cdims = tuple(range(1 + n_out))
             A = jax.lax.dot_general(Jc, K, ((cdims, cdims), ((), ())),
                                     precision=self.precision)
@@ -310,7 +327,7 @@ class Network:
                     K3 = jnp.einsum("scd,sci->sdi", W.astype(J3.dtype), J3,
                                     precision=self.precision)
                 A = gram_pair(J3.reshape(S * C, D), K3.reshape(S * C, D),
-                              interpret=not _on_tpu())
+                              interpret=not _on_tpu(), symmetric=True)
             else:
                 A = _flat_gram(J3, W, diag, self.precision)
             return A.reshape(node_shape + node_shape), b

@@ -27,9 +27,16 @@ HEADLINE = {
 }
 
 
-def main(which: str = "digits", seeds=(42, 43, 44, 45, 46)):
-    from . import train_image
+def main(which: str = "digits",
+         seeds=(42, 43, 44, 45, 46, 47, 48, 49, 50, 51)):
+    import numpy as np
+
     from ..utils.metrics import append_results_csv
+
+    if which == "digits_flat":
+        return run_digits_flat(seeds)
+
+    from . import train_image
 
     results = []
     for seed in seeds:
@@ -42,10 +49,43 @@ def main(which: str = "digits", seeds=(42, 43, 44, 45, 46)):
         results.append(res)
         print(f"seed {seed}: test_accuracy {res['test_accuracy']}%")
     accs = [r["test_accuracy"] for r in results]
-    import numpy as np
-    print(f"{which}: {np.mean(accs):.2f} +/- {np.std(accs):.2f} % "
-          f"over {len(seeds)} seeds ({results[0]['num_parameters']} params)")
+    mean = np.mean(accs)
+    # binomial sampling noise floor of the (fixed) test set: the seed-to-seed
+    # std cannot meaningfully drop below this on a 359-sample digits test
+    n_test = 359 if which == "digits" else 10000
+    p = mean / 100.0
+    floor = 100.0 * np.sqrt(p * (1 - p) / n_test)
+    print(f"{which}: {mean:.2f} +/- {np.std(accs):.2f} % over "
+          f"{len(seeds)} seeds ({results[0]['num_parameters']} params); "
+          f"test-set binomial noise floor ~{floor:.2f} %")
     return results
+
+
+def run_digits_flat(seeds):
+    """Second real-data anchor: flat-64 tabular digits through the TT
+    regressor (reference `train_mnist.py` flattens 784 the same way)."""
+    import numpy as np
+
+    from ..data.tabular import load_sklearn_dataset
+    from ..utils.metrics import append_results_csv
+    from .train_tabular import run
+    from ..utils.config import RunConfig
+
+    accs = []
+    for seed in seeds:
+        data = load_sklearn_dataset("digits", seed=42)  # fixed split
+        cfg = RunConfig(dataset="digits", model_type="tt", N=3, r=8,
+                        num_swipes=10, eps=5.0, eps_decay=0.25,
+                        batch_size=512, early_stopping=10, seed=seed,
+                        verbose=0, results_file="results/reproduce_digits_flat.csv")
+        res = run(cfg, data=data)
+        accs.append(res["test_accuracy"] * 100)
+        append_results_csv({**res, "seed": seed},
+                           "results/reproduce_digits_flat.csv")
+        print(f"seed {seed}: test_accuracy {accs[-1]:.2f}%")
+    print(f"digits_flat: {np.mean(accs):.2f} +/- {np.std(accs):.2f} % "
+          f"over {len(seeds)} seeds")
+    return accs
 
 
 if __name__ == "__main__":

@@ -47,6 +47,85 @@ def sample_config(rng: np.random.Generator, space=None) -> Dict:
     return out
 
 
+class BayesSearch:
+    """Surrogate-based sequential search (offline stand-in for the reference's
+    `method: bayes` W&B sweep, `/root/reference/wandb_sweep.py:114-180`).
+
+    GP regression with an RBF kernel over the normalized search space
+    (ints/log-floats scaled to [0,1], choices one-hot) and expected-
+    improvement acquisition maximized over a random candidate pool. The first
+    `n_init` proposals are random (space-filling); afterwards each `ask()`
+    refits the GP on everything `tell()` has seen.
+    """
+
+    def __init__(self, space=None, seed: int = 0, n_init: int = 5,
+                 n_candidates: int = 256, length_scale: float = 0.35,
+                 noise: float = 1e-4):
+        self.space = dict(space or SWEEP_SPACE)
+        self.rng = np.random.default_rng(seed)
+        self.n_init = n_init
+        self.n_candidates = n_candidates
+        self.l2 = 2.0 * length_scale ** 2
+        self.noise = noise
+        self.X: list = []   # encoded observations
+        self.y: list = []
+
+    # ---- encoding ---------------------------------------------------------
+    def _encode(self, cfg: Dict) -> np.ndarray:
+        feats = []
+        for k, spec in self.space.items():
+            kind = spec[0]
+            v = cfg[k]
+            if kind == "int":
+                lo, hi = spec[1], spec[2]
+                feats.append((float(v) - lo) / max(1, hi - lo))
+            elif kind == "log":
+                lo, hi = math.log(spec[1]), math.log(spec[2])
+                feats.append((math.log(float(v)) - lo) / (hi - lo))
+            else:
+                onehot = [1.0 if v == c else 0.0 for c in spec[1]]
+                feats.extend(onehot)
+        return np.asarray(feats)
+
+    def _kernel(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+        return np.exp(-d2 / self.l2)
+
+    # ---- ask / tell -------------------------------------------------------
+    def ask(self) -> Dict:
+        if len(self.y) < self.n_init:
+            return sample_config(self.rng, self.space)
+        cands = [sample_config(self.rng, self.space)
+                 for _ in range(self.n_candidates)]
+        Xc = np.stack([self._encode(c) for c in cands])
+        Xo = np.stack(self.X)
+        yo = np.asarray(self.y, float)
+        mu0, sd0 = yo.mean(), max(yo.std(), 1e-9)
+        yn = (yo - mu0) / sd0
+        K = self._kernel(Xo, Xo) + self.noise * np.eye(len(yo))
+        try:
+            L = np.linalg.cholesky(K)
+        except np.linalg.LinAlgError:
+            L = np.linalg.cholesky(K + 1e-6 * np.eye(len(yo)))
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+        Ks = self._kernel(Xc, Xo)
+        mu = Ks @ alpha
+        v = np.linalg.solve(L, Ks.T)
+        var = np.clip(1.0 - (v ** 2).sum(0), 1e-12, None)
+        sd = np.sqrt(var)
+        # expected improvement over the incumbent (maximization)
+        best = yn.max()
+        z = (mu - best) / sd
+        phi = np.exp(-0.5 * z ** 2) / math.sqrt(2 * math.pi)
+        Phi = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2)))
+        ei = (mu - best) * Phi + sd * phi
+        return cands[int(np.argmax(ei))]
+
+    def tell(self, cfg: Dict, score: float):
+        self.X.append(self._encode(cfg))
+        self.y.append(float(score))
+
+
 def cv_score(cfg: RunConfig, overrides: Dict, X, y, folds: int = 5) -> Dict:
     """5-fold CV returning r2_low = mean - SEM (reference wandb_sweep.py
     metric) or accuracy_low for classification."""
@@ -84,7 +163,10 @@ def cv_score(cfg: RunConfig, overrides: Dict, X, y, folds: int = 5) -> Dict:
 
 
 def run_sweep(cfg: RunConfig, X, y, n_trials: int = 20,
-              results_file: Optional[str] = None, use_wandb: bool = True):
+              results_file: Optional[str] = None, use_wandb: bool = True,
+              search: str = "bayes"):
+    """search='bayes' (GP-EI surrogate, the reference's sweep method) or
+    'random' (uniform)."""
     results_file = results_file or f"{cfg.dataset}_sweep_results.csv"
     try:
         if not use_wandb:
@@ -95,10 +177,14 @@ def run_sweep(cfg: RunConfig, X, y, n_trials: int = 20,
     except ImportError:
         pass
     rng = np.random.default_rng(cfg.seed)
+    searcher = BayesSearch(seed=cfg.seed) if search == "bayes" else None
     best = None
     for t in range(n_trials):
-        overrides = sample_config(rng)
+        overrides = searcher.ask() if searcher else sample_config(rng)
         res = cv_score(cfg, overrides, X, y)
+        if searcher:
+            searcher.tell(overrides, res["score_low"]
+                          if not res["singular"] else -10.0)
         row = {**overrides, **res, "trial": t}
         append_results_csv(row, results_file)
         if not res["singular"] and (best is None

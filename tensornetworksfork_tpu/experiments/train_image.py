@@ -59,10 +59,15 @@ def get_config_from_env():
 
 def load_data(config):
     if config["dataset"].lower() == "digits":
-        # sklearn's bundled 8x8 digits: real image data, no network needed
+        # sklearn's bundled 8x8 digits: real image data, no network needed.
+        # The train/test partition uses a FIXED protocol seed (not the run
+        # seed) so every seed replicates against the same test set — the
+        # digits analogue of MNIST's fixed 10k test split. Run seeds still
+        # drive init and the val split.
         from ..data.images import load_digits_images
         k = min(config["kernel_size"], 4)
-        xtr, ytr, xte, yte = load_digits_images(k, k, seed=config["seed"])
+        split_seed = int(os.environ.get("TEST_SPLIT_SEED", "42"))
+        xtr, ytr, xte, yte = load_digits_images(k, k, seed=split_seed)
         return xtr, ytr, xte, yte, False
     try:
         xtr, ytr, xte, yte = load_mnist_like(config["data_path"])

@@ -63,14 +63,18 @@ def build_model(cfg: RunConfig, input_dim: int):
     raise ValueError(f"unknown model_type {mt!r}")
 
 
-def run(cfg: RunConfig, overrides=None) -> dict:
+def run(cfg: RunConfig, overrides=None, data=None) -> dict:
     if overrides:
         cfg = cfg.merge(overrides)
-    if cfg.dataset == "synthetic":
+    if data is not None:
+        if "task" in data:
+            cfg.task = data.pop("task")
+    elif cfg.dataset == "synthetic":
         X, y = make_regression(S=4096, d=6, degree=3, seed=cfg.seed)
         from ..data.tabular import split_train_val_test
         data = split_train_val_test(X, y, seed=cfg.seed)
-    elif cfg.dataset in ("iris", "wine", "breast_cancer", "diabetes"):
+    elif cfg.dataset in ("iris", "wine", "breast_cancer", "diabetes",
+                         "digits"):
         from ..data.tabular import load_sklearn_dataset
         data = load_sklearn_dataset(cfg.dataset, seed=cfg.seed)
         cfg.task = data.pop("task")

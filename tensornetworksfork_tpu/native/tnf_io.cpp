@@ -24,6 +24,10 @@ long tnf_read_idx(const char* path, uint8_t* out, long out_capacity,
     if (!f) return -1;
     uint8_t header[4];
     if (fread(header, 1, 4, f) != 4) { fclose(f); return -1; }
+    // idx magic: two zero bytes then the type code (0x08 = ubyte)
+    if (header[0] != 0 || header[1] != 0 || header[2] != 0x08) {
+        fclose(f); return -1;
+    }
     int ndim = header[3];
     if (ndim < 1 || ndim > 4) { fclose(f); return -1; }
     long total = 1;
@@ -45,8 +49,10 @@ long tnf_read_idx(const char* path, uint8_t* out, long out_capacity,
 
 // Parses a numeric CSV (optional header row skipped when skip_header != 0).
 // Writes row-major floats; returns the number of rows parsed, sets
-// *ncols_out. Non-numeric cells parse as 0. Returns -1 on IO error, -2 when
-// capacity is exceeded.
+// *ncols_out. Non-numeric and empty cells parse as 0 (one field per comma —
+// consecutive commas are empty cells, not collapsed). Returns -1 on IO
+// error, -2 when capacity is exceeded, -3 on a jagged row (column count
+// differing from the first row — a silent reshape would scramble the data).
 long tnf_parse_csv(const char* path, float* out, long capacity,
                    int* ncols_out, int skip_header) {
     FILE* f = fopen(path, "rb");
@@ -72,27 +78,33 @@ long tnf_parse_csv(const char* path, float* out, long capacity,
         if (p < end) p++;
     }
     while (p < end) {
-        if (*p == '\n' || *p == '\r') { p++; continue; }
+        if (*p == '\n' || *p == '\r') { p++; continue; }  // blank line
         int cols = 0;
-        while (p < end && *p != '\n') {
-            char* next;
-            float v = strtof(p, &next);
-            if (next == p) {  // non-numeric cell: skip to delimiter
-                v = 0.0f;
+        for (;;) {
+            // one field per iteration; empty or non-numeric fields emit 0.0.
+            // strtof is only called when the field starts with a non-delimiter
+            // (it skips leading whitespace including '\n' and would otherwise
+            // read across the line break on a trailing empty cell).
+            float v = 0.0f;
+            char* next = p;
+            if (p < end && *p != ',' && *p != '\n' && *p != '\r') {
+                v = strtof(p, &next);
+                if (next == p) v = 0.0f;
                 while (next < end && *next != ',' && *next != '\n'
-                       && *next != '\r') next++;
+                       && *next != '\r') next++;  // skip non-numeric tail
             }
             if (written >= capacity) { free(buf); return -2; }
             out[written++] = v;
             cols++;
             p = next;
-            while (p < end && (*p == ',' || *p == ' ' || *p == '\r')) p++;
+            if (p < end && *p == ',') { p++; continue; }  // exactly one comma
+            break;
         }
-        if (cols > 0) {
-            rows++;
-            if (ncols == 0) ncols = cols;
-        }
-        if (p < end) p++;
+        while (p < end && *p == '\r') p++;
+        if (p < end && *p == '\n') p++;
+        rows++;
+        if (ncols == 0) ncols = cols;
+        else if (cols != ncols) { free(buf); return -3; }  // jagged row
     }
     *ncols_out = ncols;
     free(buf);

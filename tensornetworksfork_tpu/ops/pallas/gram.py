@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,12 @@ except Exception:  # pragma: no cover
 
 TILE = 128
 
+# trace-time call counters: each jitted trace that routes through a kernel
+# increments these, so sweep-level tests can assert the Pallas branch is
+# actually taken for a given topology/shape (not just that kernels are
+# correct in isolation).
+CALLS = {"weighted_gram": 0, "gram_pair": 0}
+
 
 def _on_tpu() -> bool:
     try:
@@ -38,8 +45,28 @@ def _on_tpu() -> bool:
         return False
 
 
+def default_tile() -> int:
+    """Gram kernel D-tile. Bigger tiles cut the revisit DMA traffic
+    (HBM bytes scale as ntiles = D/tile), which is what bounds the syrk
+    kernel once symmetry halves the MXU work. Measured best at flagship
+    shapes via benchmarks/gram_bench.py."""
+    return int(os.environ.get("TNF_PALLAS_TILE", "512"))
+
+
+def default_block() -> int:
+    return int(os.environ.get("TNF_PALLAS_BLOCK", "512"))
+
+
 def pallas_enabled() -> bool:
-    return os.environ.get("TNF_PALLAS", "0") == "1" and _HAVE_PLTPU
+    """Pallas Gram kernels default ON on TPU hardware (off elsewhere — the
+    interpret-mode fallback is for tests, not speed). TNF_PALLAS=0/1
+    overrides."""
+    if not _HAVE_PLTPU:
+        return False
+    env = os.environ.get("TNF_PALLAS")
+    if env is not None:
+        return env == "1"
+    return _on_tpu()
 
 
 def _kernel(h_ref, j1_ref, j2_ref, out_ref):
@@ -65,6 +92,7 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False
 
     Grid (D/T, D/T, B/BS): the sample-block axis is innermost so each output
     tile stays resident in VMEM across the reduction (revisit pattern)."""
+    CALLS["weighted_gram"] += 1
     B, D = J.shape
     BS = min(B, 512)
     Bp = ((B + BS - 1) // BS) * BS
@@ -94,10 +122,18 @@ def weighted_gram_auto(J: jax.Array, h: jax.Array) -> jax.Array:
     return weighted_gram(J, h, interpret=not _on_tpu())
 
 
+def _dot_precision(ref):
+    # the package-global jax_default_matmul_precision=highest maps to
+    # contract_precision<fp32>, which Mosaic rejects for bf16 operands;
+    # bf16 inputs want the native single-pass MXU mode anyway.
+    return (jax.lax.Precision.DEFAULT if ref.dtype == jnp.bfloat16 else None)
+
+
 def _pair_kernel(j1_ref, j2_ref, out_ref):
     tile = jax.lax.dot_general(
         j1_ref[:], j2_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(j1_ref))
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -108,9 +144,41 @@ def _pair_kernel(j1_ref, j2_ref, out_ref):
         out_ref[:] = out_ref[:] + tile
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile", "block"))
+def _syrk_kernel(j1_ref, j2_ref, out_ref):
+    """Symmetric Gram: compute only tiles on/above the diagonal (i <= j);
+    the strictly-lower tiles are filled by mirroring outside the kernel.
+    Halves MXU work vs the rectangular kernel — a symmetry XLA's dot lowering
+    does not exploit."""
+    i, j, b = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(i <= j)
+    def _():
+        tile = jax.lax.dot_general(
+            j1_ref[:], j2_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(j1_ref))
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[:] = tile
+
+        @pl.when(b != 0)
+        def _():
+            out_ref[:] = out_ref[:] + tile
+
+    # skipped lower tiles: write zeros once so the output buffer is fully
+    # defined (the mirror only reads the upper triangle, but leaving HBM
+    # uninitialised would trip all-finite checks on the raw buffer)
+    @pl.when(jnp.logical_and(i > j, b == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "block", "symmetric"))
 def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
-              tile: int = 256, block: int = 512) -> jax.Array:
+              tile: Optional[int] = None, block: Optional[int] = None,
+              symmetric: bool = False) -> jax.Array:
     """A[d, e] = sum_s J1[s, d] J2[s, e] — the full-Hessian Gram form: with
     J1 = J reshaped (B*C, D) and J2 = (H-weighted coeff) reshaped, this is
     the XE-path Gram accumulation (engine.gram_and_rhs full branch).
@@ -120,7 +188,16 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
     blocks innermost so each output tile stays VMEM-resident across the
     reduction; `tile` > 128 (MXU native) raises arithmetic intensity —
     HBM traffic scales as 1/tile, which is what makes the flagship
-    D=16200 Gram compute-bound instead of load-bound."""
+    D=16200 Gram compute-bound instead of load-bound.
+
+    symmetric=True (valid when A is symmetric, i.e. J2 = W J1 with W
+    symmetric — every Gauss-Newton Gram) computes only the upper-triangular
+    tiles and mirrors them, halving MXU work."""
+    CALLS["gram_pair"] += 1
+    if tile is None:
+        tile = default_tile()
+    if block is None:
+        block = default_block()
     B, D = J1.shape
     BS = min(B, block)
     Bp = ((B + BS - 1) // BS) * BS
@@ -130,7 +207,7 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
         J2 = jnp.pad(J2, ((0, Bp - B), (0, Dp - D)))
     grid = (Dp // tile, Dp // tile, Bp // BS)
     A = pl.pallas_call(
-        _pair_kernel,
+        _syrk_kernel if symmetric else _pair_kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
         grid=grid,
         in_specs=[
@@ -140,4 +217,9 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
         out_specs=pl.BlockSpec((tile, tile), lambda i, j, b: (i, j)),
         interpret=interpret,
     )(J1, J2)
+    if symmetric:
+        # mirror the strictly-upper triangle into the lower half; diagonal
+        # tiles were computed fully, so an elementwise triu-mirror
+        # reconstructs the exact symmetric A.
+        A = jnp.triu(A) + jnp.triu(A, 1).T
     return A[:D, :D]

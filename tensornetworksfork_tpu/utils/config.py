@@ -51,7 +51,7 @@ class RunConfig:
     seed: int = 42
     verbose: int = 1
     timeout: Optional[float] = None
-    results_file: str = "results.csv"
+    results_file: str = "results/results.csv"
 
     @classmethod
     def field_names(cls):

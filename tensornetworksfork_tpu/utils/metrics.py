@@ -55,6 +55,9 @@ def append_results_csv(results: Dict, path: str) -> None:
     (reference save_results_to_dataset, AAMNST.py:69-92)."""
     results = dict(results)
     results["timestamp"] = datetime.now().isoformat()
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     exists = os.path.exists(path)
     existing_fields = None
     if exists:

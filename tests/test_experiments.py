@@ -76,12 +76,90 @@ def test_train_image_synthetic(monkeypatch, tmp_path):
     assert os.path.exists(config["results_file"])
 
 
+def test_train_image_staged_idx(monkeypatch, tmp_path):
+    """End-to-end MNIST parity path with STAGED idx files: when real data is
+    placed under DATA_PATH, train_image must use it (not the synthetic
+    fallback) through the native idx loader and the full benchmark protocol.
+    This is the documented one-command parity run (reproduce_result mnist)
+    exercised on a tiny staged dataset."""
+    import struct
+
+    from tensornetworksfork_tpu.experiments import train_image
+
+    def write_idx(path, arr):
+        with open(path, "wb") as f:
+            f.write(struct.pack(">I", 0x00000800 | arr.ndim))
+            for d in arr.shape:
+                f.write(struct.pack(">I", d))
+            f.write(arr.tobytes())
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "MNIST"
+    root.mkdir()
+    # class-dependent mean images so the model can beat chance
+    protos = rng.integers(0, 255, (10, 28, 28)).astype(np.float32)
+    ytr = rng.integers(0, 10, 192)
+    yte = rng.integers(0, 10, 64)
+    xtr = np.clip(protos[ytr] + rng.normal(0, 40, (192, 28, 28)), 0, 255)
+    xte = np.clip(protos[yte] + rng.normal(0, 40, (64, 28, 28)), 0, 255)
+    write_idx(str(root / "train-images-idx3-ubyte"), xtr.astype(np.uint8))
+    write_idx(str(root / "train-labels-idx1-ubyte"), ytr.astype(np.uint8))
+    write_idx(str(root / "t10k-images-idx3-ubyte"), xte.astype(np.uint8))
+    write_idx(str(root / "t10k-labels-idx1-ubyte"), yte.astype(np.uint8))
+
+    for k, v in dict(N="2", R="3", CB="2", NUM_SWIPES="1", EARLY_STOPPING="4",
+                     BATCH_SIZE="96", VERBOSE="0", DATASET="MNIST",
+                     DATA_PATH=str(root)).items():
+        monkeypatch.setenv(k, v)
+    config = train_image.get_config_from_env()
+    results = train_image.train_model(config)
+    assert results["dataset"] == "MNIST"  # no -synthetic suffix: real data
+    assert results["test_accuracy"] > 15.0, results
+
+
 def test_sweep_harness_samples():
     from tensornetworksfork_tpu.experiments.sweep import SWEEP_SPACE, sample_config
     rng = np.random.default_rng(0)
     c = sample_config(rng)
     assert 2 <= c["N"] <= 16 and 2 <= c["r"] <= 24
     assert 1e-12 <= c["eps"] <= 10.0
+
+
+def test_bayes_search_converges_on_toy():
+    """GP-EI search localizes the optimum of a smooth toy objective faster
+    than random search over the same budget (reference sweep method is
+    `bayes`, wandb_sweep.py:114-180)."""
+    from tensornetworksfork_tpu.experiments.sweep import (BayesSearch,
+                                                          sample_config)
+
+    def objective(c):
+        # smooth, maximized at N=8, r=12, eps=1e-4
+        return (-(c["N"] - 8) ** 2 / 36.0 - (c["r"] - 12) ** 2 / 100.0
+                - (np.log10(c["eps"]) + 4) ** 2 / 16.0)
+
+    def run(searcher_like, n=30):
+        best = -np.inf
+        for _ in range(n):
+            c = searcher_like.ask()
+            s = objective(c)
+            searcher_like.tell(c, s)
+            best = max(best, s)
+        return best
+
+    class RandomSearch:
+        def __init__(self, seed):
+            self.rng = np.random.default_rng(seed)
+
+        def ask(self):
+            return sample_config(self.rng)
+
+        def tell(self, c, s):
+            pass
+
+    bayes = np.mean([run(BayesSearch(seed=s)) for s in range(3)])
+    rand = np.mean([run(RandomSearch(seed=s)) for s in range(3)])
+    assert bayes >= rand - 1e-9, (bayes, rand)
+    assert bayes > -0.15, bayes  # near-optimal on average
 
 
 def test_bundled_sklearn_datasets(tmp_path):

@@ -38,3 +38,36 @@ def test_native_csv(tmp_path):
     mat, ncols = res
     assert ncols == 3
     np.testing.assert_allclose(mat, [[1.5, 2, 3], [-4, 5.25, 6]])
+
+
+def test_native_csv_empty_cells_keep_position(tmp_path):
+    """Consecutive commas are empty cells (0.0), not collapsed — dropping
+    them would shift every later value left in the row-major buffer."""
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    p = str(tmp_path / "e.csv")
+    with open(p, "w") as f:
+        f.write("1,,3\n,5,\n7,abc,9\n")
+    mat, ncols = native.parse_csv(p, skip_header=False)
+    assert ncols == 3
+    np.testing.assert_allclose(mat, [[1, 0, 3], [0, 5, 0], [7, 0, 9]])
+
+
+def test_native_csv_jagged_rows_error(tmp_path):
+    """A row whose column count differs from the first row must be an
+    error, not silently scrambled data."""
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    p = str(tmp_path / "j.csv")
+    with open(p, "w") as f:
+        f.write("1,2,3\n4,5\n")
+    assert native.parse_csv(p, skip_header=False) is None
+
+
+def test_native_idx_bad_magic(tmp_path):
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    p = str(tmp_path / "bad.idx")
+    with open(p, "wb") as f:
+        f.write(b"\x12\x34\x08\x01" + struct.pack(">I", 3) + b"\x01\x02\x03")
+    assert native.read_idx(p) is None

@@ -55,6 +55,93 @@ def test_gram_pair_matches_einsum():
     np.testing.assert_allclose(np.asarray(A), A_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_gram_pair_symmetric_matches_full():
+    """syrk mode (upper-triangular tiles + mirror) == rectangular kernel for
+    a symmetric Gram (J2 = W J1, W symmetric PSD)."""
+    from tensornetworksfork_tpu.ops.pallas.gram import gram_pair
+    rng = np.random.default_rng(5)
+    B, D = 80, 300  # > 1 tile at tile=128, with padding remainder
+    J = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, B), jnp.float32)
+    K = J * w[:, None]
+    A_full = gram_pair(J, K, interpret=True, tile=128)
+    A_sym = gram_pair(J, K, interpret=True, tile=128, symmetric=True)
+    np.testing.assert_allclose(np.asarray(A_sym), np.asarray(A_full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A_sym), np.asarray(A_sym).T,
+                               rtol=0, atol=0)
+
+
+def test_engine_pallas_big_node_branch(monkeypatch):
+    """Forcing the big-node route (TNF_FLAT_GRAM_MAX_D=1) with pallas on must
+    produce the same Gram as the einsum path — this is the branch the
+    flagship's D=16200 middle cores take on TPU."""
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.core.engine import Network
+
+    monkeypatch.setenv("TNF_FLAT_GRAM_MAX_D", "1")
+    layer = TensorConvolutionTrainLayer(2, 3, 4, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    t = layer.topology
+    net_plain = Network(t, use_pallas=False)
+    net_pallas = Network(t, use_pallas=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 4, 5)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 8)])
+    inputs = net_plain.bind_inputs(x)
+    params = layer.params
+    envs_l = net_plain.env_chain(params, inputs, "left")
+    envs_r = net_plain.env_chain(params, inputs, "right")
+    ni = t.main_nodes[1]
+    ci = t.col_of[ni]
+    L = envs_l[ci - 1]
+    R = envs_r[ci + 1] if ci < len(t.columns) - 1 else None
+    J = net_plain.jacobian(ni, params, inputs, L, R)
+    pred = net_plain.predict_from_jacobian(ni, J, params[t.nodes[ni].name])
+    _, g, H = XEBregman(w=1.0)(pred, y)
+    A1, b1 = net_plain.gram_and_rhs(ni, J, g, H, big_flat_ok=True)
+    from tensornetworksfork_tpu.ops.pallas.gram import CALLS
+    before = CALLS["gram_pair"]
+    A2, b2 = net_pallas.gram_and_rhs(ni, J, g, H)
+    assert CALLS["gram_pair"] > before  # the pallas branch was taken
+    np.testing.assert_allclose(np.asarray(A2), np.asarray(A1), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_sweep_routes_through_pallas(monkeypatch):
+    """A real sweep on a conv-TT with pallas enabled must actually take the
+    gram_pair branch (trace-time call counter) and match the plain sweep's
+    updated params."""
+    from tensornetworksfork_tpu.core.sweep import Member, SweepConfig, Sweeper
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.ops.pallas.gram import CALLS
+
+    layer = TensorConvolutionTrainLayer(2, 3, 4, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((32, 4, 5)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 32)])
+    cfg = SweepConfig(num_swipes=1, batch_size=16, method="ridge_cholesky",
+                      eps=0.5)
+
+    p_plain, okp = Sweeper(Network(layer.topology, use_pallas=False),
+                           XEBregman(w=1.0), cfg).run([layer.params], x, y)
+    before = CALLS["gram_pair"]
+    p_pal, okq = Sweeper(Network(layer.topology, use_pallas=True),
+                         XEBregman(w=1.0), cfg).run([layer.params], x, y)
+    assert okp and okq
+    assert CALLS["gram_pair"] > before
+    for k in p_plain[0]:
+        np.testing.assert_allclose(np.asarray(p_pal[0][k]),
+                                   np.asarray(p_plain[0][k]),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_engine_pallas_full_hessian_path():
     """XE (full Hessian) gram via the pallas pair kernel == einsum path."""
     from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
