@@ -97,7 +97,12 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small config (CI smoke)")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the steady epochs")
     args = ap.parse_args()
+    if args.profile:
+        import jax.profiler
+        jax.profiler.start_trace(args.profile)
 
     import signal
 
@@ -127,6 +132,10 @@ def main():
         except BaseException as e:
             signal.alarm(0)
             log(f"config {name} failed: {type(e).__name__}: {str(e)[:200]}")
+    if args.profile:
+        import jax.profiler
+        jax.profiler.stop_trace()
+        log(f"profile trace written to {args.profile}")
     if t_full is None:
         print(json.dumps({"metric": "convtt_mnist_sweep_epochs_per_sec",
                           "value": 0.0, "unit": "epochs/sec",

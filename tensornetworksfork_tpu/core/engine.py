@@ -277,16 +277,19 @@ class Network:
                 # kernel compiles and runs the same flattened matmul — this
                 # recovers the measured ~3x over the multi-contracting-dim
                 # dot at flagship shapes (benchmarks/gram_bench.py).
-                from ..ops.pallas.gram import gram_pair, _on_tpu
+                from ..ops.pallas.gram import gram_pair, gram_dtype, _on_tpu
                 S_sz = J_arr.shape[0]
                 C_sz = 1
                 for a in out_in_J:
                     C_sz *= J_arr.shape[J_axes.index(a)]
                 node_shape = tuple(J_arr.shape[J_axes.index(a)]
                                    for a in node_axes)
-                A = gram_pair(Jc.reshape(S_sz * C_sz, D_est),
-                              K.reshape(S_sz * C_sz, D_est),
-                              interpret=not _on_tpu(), symmetric=True)
+                J2 = Jc.reshape(S_sz * C_sz, D_est)
+                K2 = K.reshape(S_sz * C_sz, D_est)
+                gd = gram_dtype()
+                if gd is not None:
+                    J2, K2 = J2.astype(gd), K2.astype(gd)
+                A = gram_pair(J2, K2, interpret=not _on_tpu(), symmetric=True)
                 return A.reshape(node_shape + node_shape), b
             cdims = tuple(range(1 + n_out))
             A = jax.lax.dot_general(Jc, K, ((cdims, cdims), ((), ())),
@@ -320,14 +323,18 @@ class Network:
             else:
                 W = hess.reshape(S, C, C)
             if self.use_pallas and not jnp.iscomplexobj(J_arr):
-                from ..ops.pallas.gram import gram_pair, _on_tpu
+                from ..ops.pallas.gram import gram_pair, gram_dtype, _on_tpu
                 if diag:
                     K3 = J3 * W[..., None].astype(J3.dtype)
                 else:
                     K3 = jnp.einsum("scd,sci->sdi", W.astype(J3.dtype), J3,
                                     precision=self.precision)
-                A = gram_pair(J3.reshape(S * C, D), K3.reshape(S * C, D),
-                              interpret=not _on_tpu(), symmetric=True)
+                J2 = J3.reshape(S * C, D)
+                K2 = K3.reshape(S * C, D)
+                gd = gram_dtype()
+                if gd is not None:
+                    J2, K2 = J2.astype(gd), K2.astype(gd)
+                A = gram_pair(J2, K2, interpret=not _on_tpu(), symmetric=True)
             else:
                 A = _flat_gram(J3, W, diag, self.precision)
             return A.reshape(node_shape + node_shape), b

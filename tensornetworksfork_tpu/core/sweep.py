@@ -210,7 +210,7 @@ class Sweeper:
         constant TT blocks with the sample axis as the last bond — reference
         layers.py:1420-1547). The jacobian contracts all nodes but ni
         directly; no chunking or environment carrying."""
-        key = ("upds", mid, ni, method)
+        key = ("upds", mid, ni, method, self.members[mid].net.use_pallas)
         if key in self._jits:
             return self._jits[key]
         cfg = self.cfg
@@ -250,7 +250,9 @@ class Sweeper:
 
     def _jit_update(self, mid: int, ni: int, method: str, use_rest: bool,
                     return_pred: bool, B: int, split_solve: bool = False):
-        key = ("upd", mid, ni, method, use_rest, return_pred, B, split_solve)
+        net_pallas = self.members[mid].net.use_pallas
+        key = ("upd", mid, ni, method, use_rest, return_pred, B, split_solve,
+               net_pallas)
         if key in self._jits:
             return self._jits[key]
         cfg = self.cfg
@@ -512,6 +514,11 @@ class Sweeper:
             max_workers = int(os.environ.get("TNF_COMPILE_WORKERS", "4"))
         if isinstance(params_list, dict):
             params_list = [params_list]
+        saved_pallas = None
+        if mesh is not None:  # mirror run(): no pallas in GSPMD programs
+            saved_pallas = [m.net.use_pallas for m in self.members]
+            for m in self.members:
+                m.net.use_pallas = False
         data = self._prepare(x, y, sample_weight, mesh)
         B = data["B"]
         nc = data["P"] // B
@@ -611,6 +618,9 @@ class Sweeper:
             # don't wait for stuck workers if interrupted (e.g. a caller's
             # wall-clock watchdog) — abandoned RPCs would block exit
             pool.shutdown(wait=False, cancel_futures=True)
+            if saved_pallas is not None:
+                for m, p in zip(self.members, saved_pallas):
+                    m.net.use_pallas = p
         return len(jobs)
 
     # ------------------------------------------------------------------- run
@@ -632,6 +642,16 @@ class Sweeper:
         if isinstance(params_list, dict):
             params_list = [params_list]
         params_list = list(params_list)
+        # Pallas grams are custom calls GSPMD cannot partition: on a sharded
+        # (mesh) run the engine must take the XLA paths, which XLA partitions
+        # exactly (the per-shard Gram partial sums psum cleanly). use_pallas
+        # participates in the update-jit cache key, so mixed mesh/single-chip
+        # use of one Sweeper stays consistent.
+        saved_pallas = None
+        if mesh is not None:
+            saved_pallas = [m.net.use_pallas for m in self.members]
+            for m in self.members:
+                m.net.use_pallas = False
         # live view for callbacks: convergence_criterion closures read current
         # params through sweeper.params_list (the reference reads the mutable
         # node graph directly, models/tensor_train.py:258-262)
@@ -661,25 +681,30 @@ class Sweeper:
 
         NS = 0
         last_other: Optional[Tuple[int, int]] = None  # (member, col) updated last
-        for _swipe in range(cfg.num_swipes):
-            for pass_idx in (0, 1):
-                if pass_idx == 1 and cfg.skip_second:
-                    continue
-                if pass_idx == 0:
-                    reversed_pass = cfg.direction != "l2r"
-                else:
-                    reversed_pass = cfg.direction == "l2r"
-                order = list(reversed(seq)) if reversed_pass else list(seq)
-                ok, stop, last_other = self._half_pass(
-                    params_list, data, order, NS, last_other, use_rest,
-                    y_members, start, convergence_criterion, block_callback,
-                    loss_callback, reversed_pass=reversed_pass)
-                NS += 1
-                if not ok:
-                    return params_list, False
-                if stop:
-                    return params_list, True
-        return params_list, True
+        try:
+            for _swipe in range(cfg.num_swipes):
+                for pass_idx in (0, 1):
+                    if pass_idx == 1 and cfg.skip_second:
+                        continue
+                    if pass_idx == 0:
+                        reversed_pass = cfg.direction != "l2r"
+                    else:
+                        reversed_pass = cfg.direction == "l2r"
+                    order = list(reversed(seq)) if reversed_pass else list(seq)
+                    ok, stop, last_other = self._half_pass(
+                        params_list, data, order, NS, last_other, use_rest,
+                        y_members, start, convergence_criterion, block_callback,
+                        loss_callback, reversed_pass=reversed_pass)
+                    NS += 1
+                    if not ok:
+                        return params_list, False
+                    if stop:
+                        return params_list, True
+            return params_list, True
+        finally:
+            if saved_pallas is not None:
+                for m, p in zip(self.members, saved_pallas):
+                    m.net.use_pallas = p
 
     # ------------------------------------------------------------- half pass
     def _eps_for(self, NS: int, node_i: int, n_nodes: int, reverse: bool):

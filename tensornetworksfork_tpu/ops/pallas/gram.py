@@ -57,6 +57,19 @@ def default_block() -> int:
     return int(os.environ.get("TNF_PALLAS_BLOCK", "512"))
 
 
+def gram_dtype():
+    """Operand dtype for the Gram dot only (TNF_GRAM_DTYPE=f32|bf16).
+
+    bf16 runs the MXU in native single-pass mode (~2.7x the f32-HIGHEST
+    Gram at flagship shapes) while everything around it — Jacobian build,
+    Hessian weighting, rhs, Cholesky solve — stays f32: accumulation is
+    f32 in the kernel, so only the operand rounding (8-bit mantissa) is
+    lost, averaged down over the sample dimension. Default f32."""
+    return (jnp.bfloat16
+            if os.environ.get("TNF_GRAM_DTYPE", "f32").lower() == "bf16"
+            else None)
+
+
 def pallas_enabled() -> bool:
     """Pallas Gram kernels default ON on TPU hardware (off elsewhere — the
     interpret-mode fallback is for tests, not speed). TNF_PALLAS=0/1
@@ -198,6 +211,12 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
         tile = default_tile()
     if block is None:
         block = default_block()
+    if symmetric and J1.dtype == jnp.bfloat16 and os.environ.get(
+            "TNF_PALLAS_SYM", "auto") == "auto":
+        # measured (gram_bench, D=16200): bf16 runs DMA-bound — skipping the
+        # lower-triangle dots saves nothing and the zero-fill adds ~6%.
+        # Symmetry only pays where compute dominates (f32 passes).
+        symmetric = False
     B, D = J1.shape
     BS = min(B, block)
     Bp = ((B + BS - 1) // BS) * BS

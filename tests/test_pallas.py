@@ -142,6 +142,40 @@ def test_sweep_routes_through_pallas(monkeypatch):
                                    rtol=5e-3, atol=5e-3)
 
 
+def test_engine_gram_dtype_bf16(monkeypatch):
+    """TNF_GRAM_DTYPE=bf16 degrades only the Gram operand rounding: A must
+    track the f32 path to bf16-level relative error."""
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.core.engine import Network
+
+    layer = TensorConvolutionTrainLayer(2, 3, 4, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    t = layer.topology
+    net_plain = Network(t, use_pallas=False)
+    net_pallas = Network(t, use_pallas=True)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((16, 4, 5)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 16)])
+    inputs = net_plain.bind_inputs(x)
+    params = layer.params
+    envs_l = net_plain.env_chain(params, inputs, "left")
+    envs_r = net_plain.env_chain(params, inputs, "right")
+    ni = t.main_nodes[1]
+    ci = t.col_of[ni]
+    L, R = envs_l[ci - 1], (envs_r[ci + 1] if ci < len(t.columns) - 1
+                            else None)
+    J = net_plain.jacobian(ni, params, inputs, L, R)
+    pred = net_plain.predict_from_jacobian(ni, J, params[t.nodes[ni].name])
+    _, g, H = XEBregman(w=1.0)(pred, y)
+    A1, _ = net_plain.gram_and_rhs(ni, J, g, H)
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "bf16")
+    A2, _ = net_pallas.gram_and_rhs(ni, J, g, H)
+    scale = float(np.abs(np.asarray(A1)).max())
+    np.testing.assert_allclose(np.asarray(A2) / scale,
+                               np.asarray(A1) / scale, atol=3e-2)
+
+
 def test_engine_pallas_full_hessian_path():
     """XE (full Hessian) gram via the pallas pair kernel == einsum path."""
     from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
