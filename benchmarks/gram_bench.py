@@ -104,6 +104,18 @@ def main():
         @jax.jit
         def f(J, H):
             return build_K(J, H)
+    elif variant == "kbuild2":
+        # batched dot_general form of the H-weighting
+        @jax.jit
+        def f(J, H):
+            return jax.lax.dot_general(
+                H, J, (((1,), (1,)), ((0,), (0,))), precision=prec)
+    elif variant == "kbuild2def":
+        @jax.jit
+        def f(J, H):
+            return jax.lax.dot_general(
+                H, J, (((1,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.DEFAULT)
     else:
         raise SystemExit(f"unknown variant {variant}")
 

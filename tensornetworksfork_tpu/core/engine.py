@@ -323,18 +323,25 @@ class Network:
             else:
                 W = hess.reshape(S, C, C)
             if self.use_pallas and not jnp.iscomplexobj(J_arr):
-                from ..ops.pallas.gram import gram_pair, gram_dtype, _on_tpu
+                from ..ops.pallas.gram import (gram_pair, gram_dtype,
+                                               weighted_gram, _on_tpu)
+                gd = gram_dtype()
+                J2 = J3.reshape(S * C, D)
+                if gd is not None:
+                    J2 = J2.astype(gd)
                 if diag:
-                    K3 = J3 * W[..., None].astype(J3.dtype)
+                    # fused-weighting kernel: the weighted copy of J never
+                    # hits HBM
+                    A = weighted_gram(J2, W.reshape(S * C),
+                                      interpret=not _on_tpu())
                 else:
                     K3 = jnp.einsum("scd,sci->sdi", W.astype(J3.dtype), J3,
                                     precision=self.precision)
-                J2 = J3.reshape(S * C, D)
-                K2 = K3.reshape(S * C, D)
-                gd = gram_dtype()
-                if gd is not None:
-                    J2, K2 = J2.astype(gd), K2.astype(gd)
-                A = gram_pair(J2, K2, interpret=not _on_tpu(), symmetric=True)
+                    K2 = K3.reshape(S * C, D)
+                    if gd is not None:
+                        K2 = K2.astype(gd)
+                    A = gram_pair(J2, K2, interpret=not _on_tpu(),
+                                  symmetric=True)
             else:
                 A = _flat_gram(J3, W, diag, self.precision)
             return A.reshape(node_shape + node_shape), b

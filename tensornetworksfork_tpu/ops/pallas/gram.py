@@ -84,10 +84,11 @@ def pallas_enabled() -> bool:
 
 def _kernel(h_ref, j1_ref, j2_ref, out_ref):
     w = h_ref[:]  # (BS, 1)
-    jw = j1_ref[:] * w
+    jw = (j1_ref[:] * w).astype(j1_ref.dtype)
     tile = jax.lax.dot_general(
         jw, j2_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(j1_ref))
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -98,22 +99,30 @@ def _kernel(h_ref, j1_ref, j2_ref, out_ref):
         out_ref[:] = out_ref[:] + tile
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "block"))
+def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
+                  tile: Optional[int] = None, block: Optional[int] = None
                   ) -> jax.Array:
-    """A[d, e] = sum_s h[s] J[s, d] J[s, e].  J: (B, D) f32, h: (B,).
+    """A[d, e] = sum_s h[s] J[s, d] J[s, e].  J: (B, D), h: (B,).
 
-    Grid (D/T, D/T, B/BS): the sample-block axis is innermost so each output
-    tile stays resident in VMEM across the reduction (revisit pattern)."""
+    The diagonal-Hessian Gram with the per-sample weighting FUSED into the
+    kernel load — the weighted copy of J never exists in HBM (gram_pair by
+    contrast needs a materialised K operand). Grid (D/T, D/T, B/BS): the
+    sample-block axis is innermost so each output tile stays resident in
+    VMEM across the reduction (revisit pattern)."""
     CALLS["weighted_gram"] += 1
+    if tile is None:
+        tile = default_tile()
+    if block is None:
+        block = default_block()
     B, D = J.shape
-    BS = min(B, 512)
+    BS = min(B, block)
     Bp = ((B + BS - 1) // BS) * BS
-    Dp = ((D + TILE - 1) // TILE) * TILE
+    Dp = ((D + tile - 1) // tile) * tile
     if Dp != D or Bp != B:
         J = jnp.pad(J, ((0, Bp - B), (0, Dp - D)))
-    h2 = jnp.pad(h, (0, Bp - B)).reshape(Bp, 1).astype(J.dtype)
-    grid = (Dp // TILE, Dp // TILE, Bp // BS)
+    h2 = jnp.pad(h, (0, Bp - B)).reshape(Bp, 1).astype(jnp.float32)
+    grid = (Dp // tile, Dp // tile, Bp // BS)
 
     A = pl.pallas_call(
         _kernel,
@@ -121,10 +130,10 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False
         grid=grid,
         in_specs=[
             pl.BlockSpec((BS, 1), lambda i, j, b: (b, 0)),
-            pl.BlockSpec((BS, TILE), lambda i, j, b: (b, i)),
-            pl.BlockSpec((BS, TILE), lambda i, j, b: (b, j)),
+            pl.BlockSpec((BS, tile), lambda i, j, b: (b, i)),
+            pl.BlockSpec((BS, tile), lambda i, j, b: (b, j)),
         ],
-        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, b: (i, j)),
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j, b: (i, j)),
         interpret=interpret,
     )(h2, J, J)
     return A[:D, :D]

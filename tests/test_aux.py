@@ -134,6 +134,45 @@ def test_growing_drivers():
     assert all(h["ok"] for h in hist)
 
 
+def test_epoch_flops_accounting():
+    """flops.epoch_flops: linear in S, Gram-dominated for conv-TT, and the
+    dominant term matches the analytic 2*S*C*D^2 within 2x."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.utils.flops import epoch_flops
+
+    layer = TensorConvolutionTrainLayer(3, 4, 6, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    cfg = SweepConfig(num_swipes=1, batch_size=64, method="ridge_cholesky",
+                      eps=1.0)
+    sw = Sweeper(layer.network, XEBregman(w=1.0), cfg)
+    X1 = jnp.zeros((128, 6, 5), jnp.float32)
+    y1 = jnp.zeros((128, 4), jnp.float32)
+    X2 = jnp.zeros((256, 6, 5), jnp.float32)
+    y2 = jnp.zeros((256, 4), jnp.float32)
+    f1 = epoch_flops(sw, X1, y1)
+    f2 = epoch_flops(sw, X2, y2)
+    assert f1["total"] > 0
+    # env+gram+jac scale with S; solve does not
+    data1 = f1["total"] - f1["solve"]
+    data2 = f2["total"] - f2["solve"]
+    assert 1.8 < data2 / data1 < 2.2
+    # dominant analytic Gram term: 2*S*CJ*D^2 per node per pass, where
+    # CJ collapses to 1 for the node that owns the output axis (its
+    # Jacobian carries no class axis)
+    t = layer.network.topology
+    out_axis = t.output_axes[0]
+    gram = sum(
+        2 * 128 * (1 if out_axis in t.node_axes[ni] else 3)
+        * int(np.prod(t.nodes[ni].shape)) ** 2
+        for ni in t.train_nodes) * 2
+    assert f1["gram_and_jac"] >= gram * 0.9
+    assert f1["gram_and_jac"] < gram * 2.0
+
+
 def test_viz_ascii_fallback():
     from tensornetworksfork_tpu.models.layers import TensorTrainLayer
     from tensornetworksfork_tpu.utils.viz import visualize_topology
