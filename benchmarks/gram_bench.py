@@ -76,7 +76,13 @@ def main():
         sym = tail.endswith("sym")
         if sym:
             tail = tail[:-3]
+        block = 512
+        if "b" in tail:  # e.g. pallas1024b256bf16
+            tail, btail = tail.split("b", 1)
+            block = int(btail)
         tile = int(tail)
+        if sym:
+            os.environ["TNF_PALLAS_SYM"] = "1"  # defeat the auto bf16 policy
 
         @jax.jit
         def f(J, H):
@@ -84,7 +90,7 @@ def main():
             J2, K2 = J.reshape(B * C, D), K.reshape(B * C, D)
             if bf16:
                 J2, K2 = J2.astype(jnp.bfloat16), K2.astype(jnp.bfloat16)
-            return gram_pair(J2, K2, tile=tile, symmetric=sym)
+            return gram_pair(J2, K2, tile=tile, block=block, symmetric=sym)
     elif variant == "chol":
         # the per-node ridge-Cholesky solve at flagship D (solve.py analogue)
         A0 = jnp.eye(D, dtype=jnp.float32) * 3.0 + 0.01

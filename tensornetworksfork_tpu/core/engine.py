@@ -269,15 +269,20 @@ class Network:
             n_out = len(out_in_J)
             H_axes = (s,) + tuple(out_axes) + tuple(_prime(a) for a in out_axes)
             K_axes = (s,) + tuple(_prime(a) for a in out_axes) + tuple(node_axes)
-            K = contract([(H_axes, hess), (J_axes, J_arr)], K_axes,
-                         self.precision)
-            if self.use_pallas and not jnp.iscomplexobj(J_arr):
+            use_pallas_here = self.use_pallas and not jnp.iscomplexobj(J_arr)
+            from ..ops.pallas.gram import gram_pair, gram_dtype, _on_tpu
+            gd = gram_dtype() if use_pallas_here else None
+            # with bf16 Gram operands the K build drops to single-pass
+            # precision too — its C-sized reductions are far below the
+            # rounding already applied to the operands
+            K_prec = (jax.lax.Precision.DEFAULT if gd is not None
+                      else self.precision)
+            K = contract([(H_axes, hess), (J_axes, J_arr)], K_axes, K_prec)
+            if use_pallas_here:
                 # Pallas tiled-syrk path: the XLA flat-2D dot at this size
-                # crashes the remote TPU compiler (CLAUDE.md), but the Mosaic
-                # kernel compiles and runs the same flattened matmul — this
-                # recovers the measured ~3x over the multi-contracting-dim
+                # crashes the remote TPU compiler (CLAUDE.md), and the Mosaic
+                # kernel both compiles and beats the multi-contracting-dim
                 # dot at flagship shapes (benchmarks/gram_bench.py).
-                from ..ops.pallas.gram import gram_pair, gram_dtype, _on_tpu
                 S_sz = J_arr.shape[0]
                 C_sz = 1
                 for a in out_in_J:
@@ -286,7 +291,6 @@ class Network:
                                    for a in node_axes)
                 J2 = Jc.reshape(S_sz * C_sz, D_est)
                 K2 = K.reshape(S_sz * C_sz, D_est)
-                gd = gram_dtype()
                 if gd is not None:
                     J2, K2 = J2.astype(gd), K2.astype(gd)
                 A = gram_pair(J2, K2, interpret=not _on_tpu(), symmetric=True)
