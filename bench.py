@@ -118,7 +118,7 @@ def main():
     # intermittently wedges), try the next smaller one — the driver must
     # always receive one JSON line
     order = ["quick", "smoke"] if args.quick else ["full", "quick", "smoke"]
-    budgets = {"full": 1500, "quick": 900, "smoke": 600}
+    budgets = {"full": 2100, "quick": 900, "smoke": 600}
     t_full = None
     flops = None
     used = None
