@@ -9,8 +9,13 @@ that actually compiles.
 
 Run one variant per process (the remote compiler crash kills the process):
     python benchmarks/gram_bench.py <variant> [B] [C] [D]
-variants: curr | flat | pallas128 | pallas256 | pallas512 | pallas256bf16 |
-          pallas512bf16
+variants: curr | flat | chol | kbuild | kbuild2[def] |
+          pallas<tile>[b<block>][sym][bf16]  (e.g. pallas512sym,
+          pallas1024b256bf16)
+
+Measured (v5e, B=2048 C=9 D=16200, 2026-08): curr 366ms | pallas512 383 |
+pallas512sym 296 | pallas512bf16 136 | pallas768bf16 129 | chol 106 |
+kbuild 54. tile=1024 exceeds the 16MB VMEM limit at block 512.
 """
 import os
 import sys

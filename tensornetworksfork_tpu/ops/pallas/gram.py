@@ -70,6 +70,27 @@ def gram_dtype():
             else None)
 
 
+VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MB core limit
+
+
+def _clamp_grid(tile: int, block: int, itemsize: int):
+    """Shrink (tile, block) until the kernel's VMEM footprint fits.
+
+    Footprint model calibrated against Mosaic's observed accounting at
+    D=16200 (triple buffering of the two (block, tile) inputs and the f32
+    (tile, tile) output tile): tile 512 fits at every dtype; 768 fits bf16
+    but not f32; 1024 fits neither. Oversized env settings degrade instead
+    of crashing the remote compile service."""
+    def fits(t, b):
+        return (3 * 2 * b * t * itemsize + 3 * t * t * 4) <= VMEM_BUDGET
+
+    while not fits(tile, block) and block > 128:
+        block //= 2
+    while not fits(tile, block) and tile > 128:
+        tile //= 2
+    return tile, block
+
+
 def pallas_enabled() -> bool:
     """Pallas Gram kernels default ON on TPU hardware (off elsewhere — the
     interpret-mode fallback is for tests, not speed). TNF_PALLAS=0/1
@@ -115,6 +136,7 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
         tile = default_tile()
     if block is None:
         block = default_block()
+    tile, block = _clamp_grid(tile, block, jnp.dtype(J.dtype).itemsize)
     B, D = J.shape
     BS = min(B, block)
     Bp = ((B + BS - 1) // BS) * BS
@@ -220,6 +242,7 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
         tile = default_tile()
     if block is None:
         block = default_block()
+    tile, block = _clamp_grid(tile, block, jnp.dtype(J1.dtype).itemsize)
     if symmetric and J1.dtype == jnp.bfloat16 and os.environ.get(
             "TNF_PALLAS_SYM", "auto") == "auto":
         # measured (gram_bench, D=16200): bf16 runs DMA-bound — skipping the
