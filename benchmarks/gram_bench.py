@@ -65,6 +65,20 @@ def main():
             K = build_K(J, H)
             return jax.lax.dot_general(J, K, (((0, 1), (0, 1)), ((), ())),
                                        precision=prec)
+    elif variant == "currbf16":
+        # multi-contracting-dim dot on bf16 operands, f32 accumulation —
+        # avoids the flat reshape whose layout copy OOMs HBM at this shape
+        @jax.jit
+        def f(J, H):
+            K = jax.lax.dot_general(
+                H, J, (((1,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)  # K[s,c',d]
+            return jax.lax.dot_general(
+                J.astype(jnp.bfloat16), K.astype(jnp.bfloat16),
+                (((0, 1), (0, 1)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
     elif variant == "flat":
         @jax.jit
         def f(J, H):

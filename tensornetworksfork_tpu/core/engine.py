@@ -266,38 +266,34 @@ class Network:
                 and tuple(J_axes) == (s,) + tuple(out_in_J) + tuple(node_axes)):
             # K[s,c',i...] = sum_c H[s,c,c'] J[s,c,i...]; A = sum_{s,c'} Jᴴ K
             # with (s, out) as joint contracting dims — no reshapes of J.
+            # Big nodes NEVER flatten: reshaping the multi-axis J to (S*C, D)
+            # forces XLA to materialise a tiled-layout copy whose minor-dim
+            # padding explodes ~8x at flagship shapes — f32[2048,9,18,50,18]
+            # pads to 8.9 GB and the compile fails with an HBM OOM (this is
+            # the round-1 "remote compiler crash"). The multi-contracting-dim
+            # dot consumes J in place. With TNF_GRAM_DTYPE=bf16 the operands
+            # are cast (single-pass MXU, f32 accumulation) — measured vs the
+            # 6-pass f32-HIGHEST form in benchmarks/gram_bench.py.
             n_out = len(out_in_J)
             H_axes = (s,) + tuple(out_axes) + tuple(_prime(a) for a in out_axes)
             K_axes = (s,) + tuple(_prime(a) for a in out_axes) + tuple(node_axes)
-            use_pallas_here = self.use_pallas and not jnp.iscomplexobj(J_arr)
-            from ..ops.pallas.gram import gram_pair, gram_dtype, _on_tpu
-            gd = gram_dtype() if use_pallas_here else None
+            from ..ops.pallas.gram import gram_dtype
+            gd = gram_dtype() if not jnp.iscomplexobj(J_arr) else None
             # with bf16 Gram operands the K build drops to single-pass
             # precision too — its C-sized reductions are far below the
             # rounding already applied to the operands
             K_prec = (jax.lax.Precision.DEFAULT if gd is not None
                       else self.precision)
             K = contract([(H_axes, hess), (J_axes, J_arr)], K_axes, K_prec)
-            if use_pallas_here:
-                # Pallas tiled-syrk path: the XLA flat-2D dot at this size
-                # crashes the remote TPU compiler (CLAUDE.md), and the Mosaic
-                # kernel both compiles and beats the multi-contracting-dim
-                # dot at flagship shapes (benchmarks/gram_bench.py).
-                S_sz = J_arr.shape[0]
-                C_sz = 1
-                for a in out_in_J:
-                    C_sz *= J_arr.shape[J_axes.index(a)]
-                node_shape = tuple(J_arr.shape[J_axes.index(a)]
-                                   for a in node_axes)
-                J2 = Jc.reshape(S_sz * C_sz, D_est)
-                K2 = K.reshape(S_sz * C_sz, D_est)
-                if gd is not None:
-                    J2, K2 = J2.astype(gd), K2.astype(gd)
-                A = gram_pair(J2, K2, interpret=not _on_tpu(), symmetric=True)
-                return A.reshape(node_shape + node_shape), b
             cdims = tuple(range(1 + n_out))
-            A = jax.lax.dot_general(Jc, K, ((cdims, cdims), ((), ())),
-                                    precision=self.precision)
+            J_op, K_op = Jc, K
+            dot_prec = self.precision
+            if gd is not None:
+                J_op, K_op = Jc.astype(gd), K.astype(gd)
+                dot_prec = jax.lax.Precision.DEFAULT
+            A = jax.lax.dot_general(J_op, K_op, ((cdims, cdims), ((), ())),
+                                    precision=dot_prec,
+                                    preferred_element_type=J_arr.dtype)
             return A, b
         if flattenable and big_node:
             flattenable = False

@@ -249,10 +249,9 @@ class Sweeper:
         return self._jits[key]
 
     def _jit_update(self, mid: int, ni: int, method: str, use_rest: bool,
-                    return_pred: bool, B: int, split_solve: bool = False):
+                    return_pred: bool, B: int):
         net_pallas = self.members[mid].net.use_pallas
-        key = ("upd", mid, ni, method, use_rest, return_pred, B, split_solve,
-               net_pallas)
+        key = ("upd", mid, ni, method, use_rest, return_pred, B, net_pallas)
         if key in self._jits:
             return self._jits[key]
         cfg = self.cfg
@@ -267,7 +266,6 @@ class Sweeper:
         spec = t.nodes[ni]
         gradient_mode = method == "gradient"
         loss_fn = self.loss_fn
-        # split_solve captured statically by the closure below
 
         col_input_names = tuple(
             t.nodes[nj].name for nj in t.columns[ci] if t.nodes[nj].kind == INPUT
@@ -401,27 +399,6 @@ class Sweeper:
 
                 (new_core, loss_sum), _ = jax.lax.scan(body, (core, 0.0), pieces)
                 ok = jnp.all(jnp.isfinite(new_core))
-            elif split_solve:
-                # accumulate-only program: keeping the Gram build and the
-                # Cholesky solve in separate XLA programs lets the big-node
-                # 2D flattened Gram compile (the combined program crashes the
-                # remote TPU compiler at flagship sizes)
-                A0 = jnp.zeros(core.shape + core.shape, core.dtype)
-                b0 = jnp.zeros(core.shape, core.dtype)
-
-                def body(carry, piece):
-                    A_acc, b_acc, loss_acc = carry
-                    J = jac(piece, params)
-                    pred = net.predict_from_jacobian(ni, J, core)
-                    if use_rest:
-                        pred = pred + piece["rest"]
-                    loss, g, H = loss_fn(pred, piece["y"])
-                    loss, g, H = weighted(loss, g, H, piece["w"])
-                    A, b = net.gram_and_rhs(ni, J, g, H, big_flat_ok=True)
-                    return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
-
-                (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
-                return A, b, loss_sum
             else:
                 A0 = jnp.zeros(core.shape + core.shape, core.dtype)
                 b0 = jnp.zeros(core.shape, core.dtype)
@@ -457,28 +434,6 @@ class Sweeper:
         jf = jax.jit(fn)
         self._jits[key] = jf
         return jf
-
-    def _jit_solve(self, mid: int, ni: int, method: str):
-        """Solve+apply as its own program (paired with split_solve updates)."""
-        key = ("slv", mid, ni, method)
-        if key in self._jits:
-            return self._jits[key]
-        cfg = self.cfg
-        net = self.members[mid].net
-        spec = net.topology.nodes[ni]
-
-        def fn(core, A, b, eps):
-            mask = None
-            if spec.cpd_mask:
-                mask = cpd_diag_mask(core.shape, spec.labels, spec.left,
-                                     spec.right, core.dtype)
-            step, ok = solve_block(A, b, core, method, eps, cfg.refine)
-            new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
-                                    cfg.max_norm, mask)
-            return new_core, ok
-
-        self._jits[key] = jax.jit(fn)
-        return self._jits[key]
 
     def _jit_member_forward(self, mid: int, B: int):
         """Member forward over pre-chunked inputs -> chunked predictions."""
@@ -567,10 +522,6 @@ class Sweeper:
             if use_rest:
                 jobs.append((self._jit_member_forward(mi, B),
                              (params_list[mi], data["inputs"][mi])))
-        import os as _os
-        split_thresh = int(_os.environ.get("TNF_SPLIT_SOLVE_MIN_D",
-                                           "999999999"))
-        solve_jobs = []
         for i, (mi, ni) in enumerate(seq):
             t = self.members[mi].net.topology
             if not t.input_nodes:
@@ -581,12 +532,7 @@ class Sweeper:
             R = env_zeros(mi, "right", ci + 1) if ci < ncols - 1 else None
             method = self.cfg.method
             return_pred = use_rest and i == member_last_i[mi]
-            node_size = params_list[mi][t.nodes[ni].name].size
-            split = (method not in ITERATIVE_METHODS and method != "gradient"
-                     and not use_rest and not return_pred
-                     and node_size > split_thresh)
-            fn = self._jit_update(mi, ni, method, use_rest, return_pred, B,
-                                  split_solve=split)
+            fn = self._jit_update(mi, ni, method, use_rest, return_pred, B)
             x0 = None
             if method in ITERATIVE_METHODS:
                 x0 = jnp.zeros((params_list[mi][t.nodes[ni].name].size,),
@@ -594,17 +540,16 @@ class Sweeper:
             jobs.append((fn, (params_list[mi], L, R, data["inputs"][mi],
                               data["y"], data["w"], rest0,
                               jnp.float32(0.1), x0)))
-            if split:
-                core0 = params_list[mi][t.nodes[ni].name]
-                A0 = jnp.zeros(core0.shape + core0.shape, core0.dtype)
-                b0 = jnp.zeros(core0.shape, core0.dtype)
-                solve_jobs.append((self._jit_solve(mi, ni, method),
-                                   (core0, A0, b0, jnp.float32(0.1))))
-        jobs.extend(solve_jobs)
 
         def do(job):
             fn, args = job
-            out = fn(*args)
+            try:
+                out = fn(*args)
+            except Exception:
+                # the remote compile service intermittently 500s under
+                # concurrent load (CLAUDE.md); back off and retry once
+                time.sleep(15)
+                out = fn(*args)
             # force a real device->host transfer: block_until_ready does not
             # reliably block on remote-tunnel platforms (CLAUDE.md)
             leaf = jax.tree_util.tree_leaves(out)[0]
@@ -884,16 +829,7 @@ class Sweeper:
                 method = "exact"  # reference network.py:478-479
 
             return_pred = use_rest and i == member_last_i[mi]
-            node_size = params_list[mi][t.nodes[ni].name].size
-            # experimental: split accumulate/solve programs for very large
-            # nodes (TNF_SPLIT_SOLVE_MIN_D). Off by default — the remote
-            # compiler still rejects flagship-sized flat-Gram programs.
-            split = (method not in ITERATIVE_METHODS and method != "gradient"
-                     and not use_rest and not return_pred
-                     and node_size > int(os.environ.get(
-                         "TNF_SPLIT_SOLVE_MIN_D", "999999999")))
-            upd = self._jit_update(mi, ni, method, use_rest, return_pred, B,
-                                   split_solve=split)
+            upd = self._jit_update(mi, ni, method, use_rest, return_pred, B)
             x0 = None
             if method in ITERATIVE_METHODS:
                 # warm-start from the previous solution for this node
@@ -902,18 +838,9 @@ class Sweeper:
                 if x0 is None:
                     x0 = jnp.zeros((params_list[mi][
                         t.nodes[ni].name].size,), jnp.float32)
-            if split:
-                A, bvec, loss_sum = upd(
-                    params_list[mi], L, R, data["inputs"][mi], data["y"],
-                    data["w"], rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
-                slv = self._jit_solve(mi, ni, method)
-                new_core, ok = slv(params_list[mi][t.nodes[ni].name], A, bvec,
-                                   jnp.asarray(eps, jnp.float32))
-                pred, x_sol = None, None
-            else:
-                new_core, loss_sum, ok, pred, x_sol = upd(
-                    params_list[mi], L, R, data["inputs"][mi], data["y"],
-                    data["w"], rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
+            new_core, loss_sum, ok, pred, x_sol = upd(
+                params_list[mi], L, R, data["inputs"][mi], data["y"],
+                data["w"], rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
             if x_sol is not None:
                 self._node_sols[(mi, ni)] = x_sol
             if not bool(ok):

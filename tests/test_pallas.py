@@ -73,9 +73,11 @@ def test_gram_pair_symmetric_matches_full():
 
 
 def test_engine_pallas_big_node_branch(monkeypatch):
-    """Forcing the big-node route (TNF_FLAT_GRAM_MAX_D=1) with pallas on must
-    produce the same Gram as the einsum path — this is the branch the
-    flagship's D=16200 middle cores take on TPU."""
+    """Forcing the big-node route (TNF_FLAT_GRAM_MAX_D=1) must produce the
+    same Gram as the flat path WITHOUT flattening: reshaping a big multi-axis
+    J materialises a tile-padded layout copy that OOMs HBM at flagship shapes
+    (the round-1 'remote compiler crash'), so big nodes must stay on the
+    multi-contracting-dim dot even with pallas enabled."""
     from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
     from tensornetworksfork_tpu.ops.bregman import XEBregman
     from tensornetworksfork_tpu.core.engine import Network
@@ -104,7 +106,7 @@ def test_engine_pallas_big_node_branch(monkeypatch):
     from tensornetworksfork_tpu.ops.pallas.gram import CALLS
     before = CALLS["gram_pair"]
     A2, b2 = net_pallas.gram_and_rhs(ni, J, g, H)
-    assert CALLS["gram_pair"] > before  # the pallas branch was taken
+    assert CALLS["gram_pair"] == before  # big nodes must NOT flatten
     np.testing.assert_allclose(np.asarray(A2), np.asarray(A1), rtol=2e-3,
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=2e-3,
