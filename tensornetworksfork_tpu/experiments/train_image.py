@@ -44,6 +44,10 @@ def get_config_from_env():
         "kernel_size": int(e("KERNEL_SIZE", "4")),
         "kernel_stride": int(e("KERNEL_STRIDE", "4")),
         "num_swipes": int(e("NUM_SWIPES", "5")),
+        # matrix-free tier: cg | minres | lanczos run the reference's
+        # CIFAR_minres.py / CIFAR_lanczos_swipe.py pattern on-device
+        "method": e("METHOD", "ridge_cholesky"),
+        "max_iter": int(e("MAX_ITER", "50")),
         "eps": float(e("EPS", "5.0")),
         "eps_decay": float(e("EPS_DECAY", "0.25")),
         "batch_size": int(e("BATCH_SIZE", "2048")),
@@ -134,8 +138,9 @@ def train_model(config):
 
     cfg = SweepConfig(num_swipes=config["num_swipes"],
                       batch_size=config["batch_size"],
-                      method="ridge_cholesky", eps=config["eps"],
-                      eps_decay=config["eps_decay"],
+                      method=config.get("method", "ridge_cholesky"),
+                      max_iter=config.get("max_iter", 50),
+                      eps=config["eps"], eps_decay=config["eps_decay"],
                       verbose=config["verbose"])
     members = [Member(l.network, fn)
                for l, fn in zip(model.layers, model.input_fns)]
@@ -182,6 +187,7 @@ def train_model(config):
         "test_accuracy": round(acc * 100, 2),
         "num_parameters": model.num_parameters(),
         "num_swipes": config["num_swipes"], "eps": config["eps"],
+        "method": config.get("method", "ridge_cholesky"),
         "eps_decay": config["eps_decay"],
         "kernel_size": config["kernel_size"],
         "kernel_stride": config["kernel_stride"],
