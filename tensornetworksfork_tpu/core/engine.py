@@ -200,6 +200,156 @@ class Network:
         keep = self.jacobian_keep(ni, ops)
         return (keep, contract(ops, keep, self.precision))
 
+    # ------------------------------------------------------ packed jacobian
+    # TPU layout note (measured, see CLAUDE.md): a Jacobian materialised with
+    # its node axes spread over several trailing dims pads catastrophically —
+    # f32[2048,9,18,50,18] tiles to 8x its logical size, and the resulting
+    # HBM traffic (not the Gram MXU work) dominated the round-1 flagship
+    # epoch (1237 ms/chunk measured vs 366 ms of Gram). The packed build
+    # contracts everything except the out/a0-carrying environment first,
+    # flattens the remaining node axes into ONE trailing dim, and finishes
+    # with a batched matmul, so the big intermediate is (S, C, A0, REST)
+    # whose padding is ~1.5x. The flat index order (a0, rest...) equals the
+    # node's own axis order, so A, b, and steps reshape for free.
+
+    def packed_jacobian(self, ni: int, params, inputs, left_env, right_env):
+        """Layout-packed Jacobian (S, [out...], A0, prod(rest node axes)).
+
+        Returns None when the topology around `ni` doesn't fit the packing
+        precondition (caller falls back to `jacobian`): needs >=3 node axes
+        in J, each on exactly one operand, one operand carrying all present
+        out axes plus node_axes[0], and the others free of out axes.
+        """
+        if os.environ.get("TNF_PACKED_J", "1") == "0":
+            return None
+        t = self.topology
+        ops = self.jacobian_operands(ni, params, inputs, left_env, right_env)
+        keep = self.jacobian_keep(ni, ops)
+        s = t.sample_axis
+        node_axes = t.node_axes[ni]
+        out_part = tuple(a for a in keep if a in t.output_axes)
+        node_part = tuple(a for a in keep if a in node_axes and a not in out_part)
+        if len(node_part) < 3 or len(set(node_axes)) != len(node_axes):
+            return None
+        if tuple(a for a in node_axes if a in node_part) != node_part:
+            return None  # J must keep node axes in node order
+        a0 = node_part[0]
+        rest = node_part[1:]
+        if any(jnp.iscomplexobj(arr) for _, arr in ops):
+            return None
+        # the Gram stage needs all-or-single output coverage
+        out_total = 1
+        for a in t.output_axes:
+            out_total *= t.axis_size[a]
+        if len(out_part) != len(t.output_axes) and not (
+                len(out_part) == 0 and out_total == 1):
+            return None
+        # each node axis must live on exactly one operand
+        carriers = {a: [i for i, (ax, _) in enumerate(ops) if a in ax]
+                    for a in node_part}
+        if any(len(c) != 1 for c in carriers.values()):
+            return None
+        li = carriers[a0][0]
+        L_axes, L_arr = ops[li]
+        # the a0 carrier must hold every out axis present; others none
+        if any(a not in L_axes for a in out_part):
+            return None
+        others = [op for i, op in enumerate(ops) if i != li]
+        if any(a in ax for a in out_part for ax, _ in others):
+            return None
+        if any(a in L_axes for a in rest):
+            return None
+        other_axes = set()
+        for ax, _ in others:
+            other_axes.update(ax)
+        bridges = tuple(a for a in L_axes
+                        if a != s and a not in out_part and a != a0
+                        and a in other_axes)
+        extra_L = [a for a in L_axes
+                   if a != s and a not in out_part and a != a0
+                   and a not in bridges]
+        if extra_L:
+            return None  # L has axes going nowhere (unexpected)
+        # stage 1: everything but L, rest axes flattened last
+        W_keep = (s,) + bridges + rest
+        W = contract(others, W_keep, self.precision)
+        S_sz = W.shape[0]
+        b_sz = 1
+        for a in bridges:
+            b_sz *= t.axis_size[a]
+        r_sz = 1
+        for a in rest:
+            r_sz *= t.axis_size[a]
+        W2 = W.reshape(S_sz, b_sz, r_sz)
+        # stage 2: batched matmul over the sample axis
+        perm = ([L_axes.index(s)] + [L_axes.index(a) for a in out_part]
+                + [L_axes.index(a0)] + [L_axes.index(a) for a in bridges])
+        L2 = jnp.transpose(L_arr, perm)
+        c_sz = 1
+        for a in out_part:
+            c_sz *= t.axis_size[a]
+        a0_sz = t.axis_size[a0]
+        L3 = L2.reshape(S_sz, c_sz * a0_sz, b_sz)
+        J2 = jax.lax.dot_general(L3, W2, (((2,), (1,)), ((0,), (0,))),
+                                 precision=self.precision)
+        out_sizes = tuple(t.axis_size[a] for a in out_part)
+        J2 = J2.reshape((S_sz,) + out_sizes + (a0_sz, r_sz))
+        node_shape = tuple(t.axis_size[a] for a in node_axes)
+        return {"arr": J2, "out_part": out_part, "n_out": len(out_part),
+                "node_shape": node_shape, "a0_sz": a0_sz, "r_sz": r_sz}
+
+    def packed_predict(self, pj, core: jax.Array) -> jax.Array:
+        J2 = pj["arr"]
+        n_out = pj["n_out"]
+        core2 = core.reshape(pj["a0_sz"], pj["r_sz"])
+        nd = J2.ndim
+        return jax.lax.dot_general(
+            J2, core2, (((nd - 2, nd - 1), (0, 1)), ((), ())),
+            precision=self.precision)
+
+    def packed_gram_rhs(self, pj, grad: jax.Array, hess: jax.Array):
+        """A = Jᵀ H J, b = Jᵀ g on the packed Jacobian. Requires the out
+        axes present in J to be ALL output axes (or none); the sweep's
+        conv-TT/TT nodes satisfy this. Honors TNF_GRAM_DTYPE=bf16."""
+        t = self.topology
+        J2 = pj["arr"]
+        n_out = pj["n_out"]
+        node_shape = pj["node_shape"]
+        S_sz = J2.shape[0]
+        out_sizes = J2.shape[1:1 + n_out]
+        C_sz = 1
+        for d in out_sizes:
+            C_sz *= d
+        D0, D1 = pj["a0_sz"], pj["r_sz"]
+        J3 = J2.reshape(S_sz, C_sz, D0, D1)
+        diag = hess.ndim == grad.ndim
+        g2 = grad.reshape(S_sz, -1)
+        b = jax.lax.dot_general(J3, g2, (((0, 1), (0, 1)), ((), ())),
+                                precision=self.precision)
+        from ..ops.pallas.gram import gram_dtype
+        gd = gram_dtype() if not jnp.iscomplexobj(J2) else None
+        dot_prec = (jax.lax.Precision.DEFAULT if gd is not None
+                    else self.precision)
+        if diag:
+            h2 = hess.reshape(S_sz, -1)
+            K3 = J3 * h2[:, :, None, None].astype(J3.dtype)
+        else:
+            H2 = hess.reshape(S_sz, C_sz, C_sz)
+            # K[s,c',d0,d1] = sum_c H[s,c,c'] J[s,c,d0,d1]
+            K3 = jax.lax.dot_general(
+                H2, J3.reshape(S_sz, C_sz, D0 * D1),
+                (((1,), (1,)), ((0,), (0,))),
+                precision=dot_prec).reshape(S_sz, C_sz, D0, D1)
+        Jop, Kop = J3, K3
+        if gd is not None:
+            Jop, Kop = J3.astype(gd), K3.astype(gd)
+        A = jax.lax.dot_general(Jop, Kop, (((0, 1), (0, 1)), ((), ())),
+                                precision=dot_prec,
+                                preferred_element_type=J2.dtype)
+        # A axes (d0, d1, d0', d1') flatten in node order on both sides
+        return (A.reshape(node_shape + node_shape),
+                b.reshape(node_shape))
+
     def predict_from_jacobian(self, ni: int, J: Operand, core: jax.Array) -> jax.Array:
         """out = J · core — exact because the network is multi-linear in each
         node. Replaces the reference's separate full forward per batch

@@ -308,6 +308,14 @@ class Sweeper:
                 Rop = (R_axes, piece["R"]) if has_right else None
                 return net.jacobian(ni, prms, piece["x"], Lop, Rop)
 
+            def jac_packed(piece, prms):
+                """Layout-packed Jacobian, or None (static fallback): avoids
+                the tile-padded multi-axis J materialisation that dominated
+                flagship updates (engine.packed_jacobian)."""
+                Lop = (L_axes, piece["L"]) if has_left else None
+                Rop = (R_axes, piece["R"]) if has_right else None
+                return net.packed_jacobian(ni, prms, piece["x"], Lop, Rop)
+
             if method in ITERATIVE_METHODS:
                 # matrix-free tier (reference scipy_swipe / lanczos_swipe,
                 # network.py:709-932): freeze the loss linearisation, then run
@@ -405,13 +413,20 @@ class Sweeper:
 
                 def body(carry, piece):
                     A_acc, b_acc, loss_acc = carry
-                    J = jac(piece, params)
-                    pred = net.predict_from_jacobian(ni, J, core)
+                    pj = jac_packed(piece, params)
+                    if pj is not None:
+                        pred = net.packed_predict(pj, core)
+                    else:
+                        J = jac(piece, params)
+                        pred = net.predict_from_jacobian(ni, J, core)
                     if use_rest:
                         pred = pred + piece["rest"]
                     loss, g, H = loss_fn(pred, piece["y"])
                     loss, g, H = weighted(loss, g, H, piece["w"])
-                    A, b = net.gram_and_rhs(ni, J, g, H)
+                    if pj is not None:
+                        A, b = net.packed_gram_rhs(pj, g, H)
+                    else:
+                        A, b = net.gram_and_rhs(ni, J, g, H)
                     return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
 
                 (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
@@ -424,6 +439,9 @@ class Sweeper:
                 prms = dict(params, **{name: new_core})
 
                 def body2(_, piece):
+                    pj = jac_packed(piece, prms)
+                    if pj is not None:
+                        return None, net.packed_predict(pj, new_core)
                     J = jac(piece, prms)
                     return None, net.predict_from_jacobian(ni, J, new_core)
 

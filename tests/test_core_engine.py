@@ -130,3 +130,52 @@ def test_multi_sweep_fits_quadratic():
     pred = np.asarray(layer.network.forward(params, layer.network.bind_inputs(jnp.asarray(X))))
     rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
     assert rmse < 1e-2, rmse
+
+
+def test_packed_jacobian_matches_standard():
+    """packed_jacobian/packed_predict/packed_gram_rhs == the standard path
+    for conv-TT middle nodes (full XE Hessian and diagonal square loss).
+    The packed build is the layout fix for the flagship's dominant cost
+    (tile-padded multi-axis J materialisation)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import SquareBregFunction, XEBregman
+
+    layer = TensorConvolutionTrainLayer(3, 4, 5, 3, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    t = layer.topology
+    net = Network(t, use_pallas=False)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((16, 5, 3)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 16)])
+    inputs = net.bind_inputs(x)
+    params = layer.params
+    envs_l = net.env_chain(params, inputs, "left")
+    envs_r = net.env_chain(params, inputs, "right")
+    checked = 0
+    for ni in t.train_nodes:
+        ci = t.col_of[ni]
+        L = envs_l[ci - 1] if ci > 0 else None
+        R = envs_r[ci + 1] if ci < len(t.columns) - 1 else None
+        pj = net.packed_jacobian(ni, params, inputs, L, R)
+        if pj is None:
+            continue
+        checked += 1
+        core = params[t.nodes[ni].name]
+        J = net.jacobian(ni, params, inputs, L, R)
+        pred_ref = net.predict_from_jacobian(ni, J, core)
+        pred_pk = net.packed_predict(pj, core)
+        np.testing.assert_allclose(np.asarray(pred_pk), np.asarray(pred_ref),
+                                   rtol=1e-4, atol=1e-4)
+        for loss_fn in (XEBregman(w=1.0), SquareBregFunction()):
+            yy = y if isinstance(loss_fn, XEBregman) else jnp.zeros_like(pred_ref)
+            _, g, H = loss_fn(pred_ref, yy)
+            A1, b1 = net.gram_and_rhs(ni, J, g, H)
+            A2, b2 = net.packed_gram_rhs(pj, g, H)
+            np.testing.assert_allclose(np.asarray(A2), np.asarray(A1),
+                                       rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(b2), np.asarray(b1),
+                                       rtol=2e-3, atol=2e-3)
+    assert checked >= 2, f"packed path covered only {checked} nodes"
