@@ -408,8 +408,13 @@ class Sweeper:
                 (new_core, loss_sum), _ = jax.lax.scan(body, (core, 0.0), pieces)
                 ok = jnp.all(jnp.isfinite(new_core))
             else:
-                A0 = jnp.zeros(core.shape + core.shape, core.dtype)
-                b0 = jnp.zeros(core.shape, core.dtype)
+                # A is accumulated and solved FLAT (D, D): a 2-D carry tiles
+                # at ~1x while the node-shaped carry pads up to 8x and its
+                # per-chunk read+write dominated the flagship update
+                # (engine.packed_gram_rhs docstring)
+                D = core.size
+                A0 = jnp.zeros((D, D), core.dtype)
+                b0 = jnp.zeros((D,), core.dtype)
 
                 def body(carry, piece):
                     A_acc, b_acc, loss_acc = carry
@@ -427,11 +432,14 @@ class Sweeper:
                         A, b = net.packed_gram_rhs(pj, g, H)
                     else:
                         A, b = net.gram_and_rhs(ni, J, g, H)
+                        A = A.reshape(D, D)
+                        b = b.reshape(D)
                     return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
 
                 (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
                 step, ok = solve_block(A, b, core, method, eps, cfg.refine)
-                new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
+                new_core = apply_update(core, step.reshape(core.shape),
+                                        cfg.lr, cfg.adaptive_step,
                                         cfg.max_norm, mask)
 
             pred_out = None

@@ -173,9 +173,11 @@ def test_packed_jacobian_matches_standard():
             yy = y if isinstance(loss_fn, XEBregman) else jnp.zeros_like(pred_ref)
             _, g, H = loss_fn(pred_ref, yy)
             A1, b1 = net.gram_and_rhs(ni, J, g, H)
-            A2, b2 = net.packed_gram_rhs(pj, g, H)
-            np.testing.assert_allclose(np.asarray(A2), np.asarray(A1),
+            A2, b2 = net.packed_gram_rhs(pj, g, H)  # flat (D, D), (D,)
+            np.testing.assert_allclose(np.asarray(A2),
+                                       np.asarray(A1).reshape(A2.shape),
                                        rtol=2e-3, atol=2e-3)
-            np.testing.assert_allclose(np.asarray(b2), np.asarray(b1),
+            np.testing.assert_allclose(np.asarray(b2),
+                                       np.asarray(b1).reshape(-1),
                                        rtol=2e-3, atol=2e-3)
     assert checked >= 2, f"packed path covered only {checked} nodes"
