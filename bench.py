@@ -198,6 +198,7 @@ def main():
         "achieved_tflops_per_sec": round(achieved / 1e12, 3) if achieved else None,
         "mfu_vs_bf16_peak": round(util, 4) if util else None,
         "precision": os.environ.get("TNF_PRECISION", "highest"),
+        "gram_dtype": os.environ.get("TNF_GRAM_DTYPE", "f32"),
     }))
 
 
