@@ -28,6 +28,12 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
+# Benchmark mode: bf16 Gram operands with f32 accumulation + f32 solves.
+# Accuracy-validated — the 10-seed digits replication is identical seed-for-
+# seed to the f32 mode (96.55 ± 1.13 % both, results/digits CSVs); the JSON
+# records gram_dtype. TNF_GRAM_DTYPE=f32 reverts to full-f32 numerics
+# (42.7 vs 13.8 s/epoch at the flagship config, RESULTS.md).
+os.environ.setdefault("TNF_GRAM_DTYPE", "bf16")
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
