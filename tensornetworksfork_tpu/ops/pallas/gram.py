@@ -120,10 +120,38 @@ def _kernel(h_ref, j1_ref, j2_ref, out_ref):
         out_ref[:] = out_ref[:] + tile
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile", "block"))
+def _syrk_weighted_kernel(h_ref, j1_ref, j2_ref, out_ref):
+    """weighted_gram with only on/above-diagonal tiles computed (the
+    weighted Gram is symmetric); mirrored outside the kernel."""
+    i, j, b = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(i <= j)
+    def _():
+        w = h_ref[:]
+        jw = (j1_ref[:] * w).astype(j1_ref.dtype)
+        tile = jax.lax.dot_general(
+            jw, j2_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(j1_ref))
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[:] = tile
+
+        @pl.when(b != 0)
+        def _():
+            out_ref[:] = out_ref[:] + tile
+
+    @pl.when(jnp.logical_and(i > j, b == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "block", "symmetric"))
 def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
-                  tile: Optional[int] = None, block: Optional[int] = None
-                  ) -> jax.Array:
+                  tile: Optional[int] = None, block: Optional[int] = None,
+                  symmetric: bool = True) -> jax.Array:
     """A[d, e] = sum_s h[s] J[s, d] J[s, e].  J: (B, D), h: (B,).
 
     The diagonal-Hessian Gram with the per-sample weighting FUSED into the
@@ -137,6 +165,9 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
     if block is None:
         block = default_block()
     tile, block = _clamp_grid(tile, block, jnp.dtype(J.dtype).itemsize)
+    if symmetric and J.dtype == jnp.bfloat16 and os.environ.get(
+            "TNF_PALLAS_SYM", "auto") == "auto":
+        symmetric = False  # same DMA-bound policy as gram_pair
     B, D = J.shape
     BS = min(B, block)
     Bp = ((B + BS - 1) // BS) * BS
@@ -147,7 +178,7 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
     grid = (Dp // tile, Dp // tile, Bp // BS)
 
     A = pl.pallas_call(
-        _kernel,
+        _syrk_weighted_kernel if symmetric else _kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
         grid=grid,
         in_specs=[
@@ -158,6 +189,8 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
         out_specs=pl.BlockSpec((tile, tile), lambda i, j, b: (i, j)),
         interpret=interpret,
     )(h2, J, J)
+    if symmetric:
+        A = jnp.triu(A) + jnp.triu(A, 1).T
     return A[:D, :D]
 
 

@@ -10,10 +10,12 @@ def test_weighted_gram_matches_einsum():
     B, D = 64, 200  # non-multiple of 128 exercises padding
     J = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
     h = jnp.asarray(rng.uniform(0.5, 2.0, B), jnp.float32)
-    A = weighted_gram(J, h, interpret=True)
     A_ref = np.einsum("sd,se,s->de", np.asarray(J), np.asarray(J),
                       np.asarray(h))
-    np.testing.assert_allclose(np.asarray(A), A_ref, rtol=1e-4, atol=1e-4)
+    for sym in (True, False):  # syrk (default) and rectangular kernels
+        A = weighted_gram(J, h, interpret=True, symmetric=sym, tile=128)
+        np.testing.assert_allclose(np.asarray(A), A_ref, rtol=1e-4,
+                                   atol=1e-4)
 
 
 def test_engine_pallas_path_matches_dense(monkeypatch):
