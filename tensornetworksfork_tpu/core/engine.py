@@ -251,7 +251,10 @@ class Network:
             return None
         li = carriers[a0][0]
         L_axes, L_arr = ops[li]
-        # the a0 carrier must hold every out axis present; others none
+        # the a0 carrier must hold the sample axis (it anchors the batched
+        # matmul) and every out axis present; the others carry no out axes
+        if s not in L_axes:
+            return None
         if any(a not in L_axes for a in out_part):
             return None
         others = [op for i, op in enumerate(ops) if i != li]
@@ -270,6 +273,8 @@ class Network:
                    and a not in bridges]
         if extra_L:
             return None  # L has axes going nowhere (unexpected)
+        if not any(s in ax for ax, _ in others):
+            return None  # stage-1 result must carry the sample axis
         # stage 1: everything but L, rest axes flattened last
         W_keep = (s,) + bridges + rest
         W = contract(others, W_keep, self.precision)

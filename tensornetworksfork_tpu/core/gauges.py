@@ -42,7 +42,15 @@ def _padded_qr(mat: jnp.ndarray) -> tuple:
 
     For rows >= bond this is plain reduced QR. For the wide case (rows <
     bond, where the reference shrinks the node) Q gets zero columns and R
-    zero rows, so Q_pad @ R_pad == mat with static shapes."""
+    zero rows, so Q_pad @ R_pad == mat with static shapes.
+
+    Caveat (inherent to keeping the static bond): a rows < bond core spans
+    at most `rows` bond directions, so after gauging the extra directions
+    are exactly zero and a neighbouring UNREGULARIZED solve (method='exact'
+    or eps=0) sees a singular Gram — the sweep then aborts with
+    success=False, the reference's LinAlgError contract. Use a ridge method
+    (the TNML/benchmark protocols always do); the reference instead shrinks
+    the node's shape, which XLA's static shapes disallow."""
     rows, bond = mat.shape
     Q, R = jnp.linalg.qr(mat, mode="reduced")
     if rows < bond:

@@ -138,7 +138,8 @@ class Sweeper:
                     labels = {t.nodes[ni].name: t.nodes[ni].labels
                               for ni in t.input_nodes}
                     sharded.append(shard_chunked_inputs(
-                        data["inputs"][mi], mesh, labels, model_labels))
+                        data["inputs"][mi], mesh, labels, model_labels,
+                        sample_dim=t.sample_dim))
                 data["inputs"] = sharded
             else:
                 data["inputs"] = [shard_chunked(d, mesh) for d in data["inputs"]]
@@ -479,13 +480,16 @@ class Sweeper:
 
     # ------------------------------------------------------------ precompile
     def precompile(self, params_list, x, y, *, sample_weight=None, mesh=None,
-                   max_workers: Optional[int] = None, node_order=None):
+                   max_workers: Optional[int] = None, node_order=None,
+                   model_axis_labels: Sequence[str] = ()):
         """Compiles every program a run() will need, concurrently.
 
         XLA compilation is the dominant first-run cost (one program per node
         update plus env programs); dispatching the warm-up calls from a
         thread pool compiles them in parallel. Safe to skip — run() compiles
-        lazily — but cuts cold-start wall-clock severalfold."""
+        lazily — but cuts cold-start wall-clock severalfold. Pass the same
+        mesh AND model_axis_labels a later run() will use, or the sharded
+        programs retrace there."""
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -500,7 +504,21 @@ class Sweeper:
             saved_pallas = [m.net.use_pallas for m in self.members]
             for m in self.members:
                 m.net.use_pallas = False
-        data = self._prepare(x, y, sample_weight, mesh)
+        try:
+            return self._precompile_inner(
+                params_list, x, y, sample_weight, mesh, max_workers,
+                node_order, tuple(model_axis_labels))
+        finally:
+            if saved_pallas is not None:
+                for m, p in zip(self.members, saved_pallas):
+                    m.net.use_pallas = p
+
+    def _precompile_inner(self, params_list, x, y, sample_weight, mesh,
+                          max_workers, node_order, model_axis_labels):
+        from concurrent.futures import ThreadPoolExecutor
+
+        data = self._prepare(x, y, sample_weight, mesh,
+                             model_labels=model_axis_labels)
         B = data["B"]
         nc = data["P"] // B
         use_rest = len(self.members) > 1
@@ -571,9 +589,15 @@ class Sweeper:
             fn, args = job
             try:
                 out = fn(*args)
-            except Exception:
+            except Exception as e:
                 # the remote compile service intermittently 500s under
-                # concurrent load (CLAUDE.md); back off and retry once
+                # concurrent load (CLAUDE.md); back off and retry once —
+                # but only for that transient error class, not deterministic
+                # trace/shape errors
+                msg = str(e)
+                if not ("remote_compile" in msg or "HTTP 500" in msg
+                        or "INTERNAL" in msg):
+                    raise
                 time.sleep(15)
                 out = fn(*args)
             # force a real device->host transfer: block_until_ready does not
@@ -589,9 +613,6 @@ class Sweeper:
             # don't wait for stuck workers if interrupted (e.g. a caller's
             # wall-clock watchdog) — abandoned RPCs would block exit
             pool.shutdown(wait=False, cancel_futures=True)
-            if saved_pallas is not None:
-                for m, p in zip(self.members, saved_pallas):
-                    m.net.use_pallas = p
         return len(jobs)
 
     # ------------------------------------------------------------------- run
@@ -617,42 +638,43 @@ class Sweeper:
         # (mesh) run the engine must take the XLA paths, which XLA partitions
         # exactly (the per-shard Gram partial sums psum cleanly). use_pallas
         # participates in the update-jit cache key, so mixed mesh/single-chip
-        # use of one Sweeper stays consistent.
+        # use of one Sweeper stays consistent. The flip is restored in the
+        # finally below, which also covers failures during data prep.
         saved_pallas = None
         if mesh is not None:
             saved_pallas = [m.net.use_pallas for m in self.members]
             for m in self.members:
                 m.net.use_pallas = False
-        # live view for callbacks: convergence_criterion closures read current
-        # params through sweeper.params_list (the reference reads the mutable
-        # node graph directly, models/tensor_train.py:258-262)
-        self.params_list = params_list
-        data = self._prepare(x, y, sample_weight, mesh,
-                             model_labels=tuple(model_axis_labels))
-        if mesh is not None:
-            from ..parallel.mesh import replicate
-            for mi in range(len(params_list)):
-                params_list[mi] = replicate(params_list[mi], mesh)
-        start = time.time()
-
-        # train sequence: (member, node) pairs in member order
-        seq = [(mi, ni) for mi, m in enumerate(self.members)
-               for ni in m.train_nodes]
-        if node_order is not None:
-            seq = list(node_order)
-
-        use_rest = len(self.members) > 1
-        y_members = None
-        if use_rest:
-            y_members = [
-                self._jit_member_forward(mi, data["B"])(params_list[mi],
-                                                        data["inputs"][mi])
-                for mi in range(len(self.members))
-            ]
-
-        NS = 0
-        last_other: Optional[Tuple[int, int]] = None  # (member, col) updated last
         try:
+            # live view for callbacks: convergence_criterion closures read
+            # current params through sweeper.params_list (the reference reads
+            # the mutable node graph, models/tensor_train.py:258-262)
+            self.params_list = params_list
+            data = self._prepare(x, y, sample_weight, mesh,
+                                 model_labels=tuple(model_axis_labels))
+            if mesh is not None:
+                from ..parallel.mesh import replicate
+                for mi in range(len(params_list)):
+                    params_list[mi] = replicate(params_list[mi], mesh)
+            start = time.time()
+
+            # train sequence: (member, node) pairs in member order
+            seq = [(mi, ni) for mi, m in enumerate(self.members)
+                   for ni in m.train_nodes]
+            if node_order is not None:
+                seq = list(node_order)
+
+            use_rest = len(self.members) > 1
+            y_members = None
+            if use_rest:
+                y_members = [
+                    self._jit_member_forward(mi, data["B"])(
+                        params_list[mi], data["inputs"][mi])
+                    for mi in range(len(self.members))
+                ]
+
+            NS = 0
+            last_other: Optional[Tuple[int, int]] = None  # (member, col) last
             for _swipe in range(cfg.num_swipes):
                 for pass_idx in (0, 1):
                     if pass_idx == 1 and cfg.skip_second:

@@ -82,9 +82,10 @@ long tnf_parse_csv(const char* path, float* out, long capacity,
         int cols = 0;
         for (;;) {
             // one field per iteration; empty or non-numeric fields emit 0.0.
-            // strtof is only called when the field starts with a non-delimiter
-            // (it skips leading whitespace including '\n' and would otherwise
-            // read across the line break on a trailing empty cell).
+            // Leading spaces/tabs are consumed HERE (not by strtof, whose
+            // whitespace skipping includes '\n' and would read across the
+            // line break on a whitespace-only or trailing empty cell).
+            while (p < end && (*p == ' ' || *p == '\t')) p++;
             float v = 0.0f;
             char* next = p;
             if (p < end && *p != ',' && *p != '\n' && *p != '\r') {

@@ -34,7 +34,8 @@ def shard_chunked(tree, mesh: Mesh, axis: str = "data"):
 
 def shard_chunked_inputs(inputs: dict, mesh: Mesh, labels_by_name: dict,
                          model_labels=(), data_axis: str = "data",
-                         model_axis: str = "model") -> dict:
+                         model_axis: str = "model",
+                         sample_dim: str = "s") -> dict:
     """2-D data x model sharding of a chunked input dict.
 
     Each value is (nchunks, B, *rest); dim 1 (samples) shards over the data
@@ -47,7 +48,7 @@ def shard_chunked_inputs(inputs: dict, mesh: Mesh, labels_by_name: dict,
     for name, x in inputs.items():
         labels = labels_by_name.get(name, ())
         rest = [model_axis if lbl in model_labels else None
-                for lbl in labels if lbl != "s"]
+                for lbl in labels if lbl != sample_dim]
         spec = P(None, data_axis, *rest) if getattr(x, "ndim", 0) >= 2 else P()
         out[name] = jax.device_put(x, NamedSharding(mesh, spec))
     return out

@@ -53,6 +53,19 @@ def test_native_csv_empty_cells_keep_position(tmp_path):
     np.testing.assert_allclose(mat, [[1, 0, 3], [0, 5, 0], [7, 0, 9]])
 
 
+def test_native_csv_whitespace_cells(tmp_path):
+    """A whitespace-only cell must not let the parser read across the line
+    break (strtof skips newlines as whitespace) — rows stay separate."""
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    p = str(tmp_path / "w.csv")
+    with open(p, "w") as f:
+        f.write("1,2, \n3,4,\n 5 ,6, 7 \n")
+    mat, ncols = native.parse_csv(p, skip_header=False)
+    assert ncols == 3
+    np.testing.assert_allclose(mat, [[1, 2, 0], [3, 4, 0], [5, 6, 7]])
+
+
 def test_native_csv_jagged_rows_error(tmp_path):
     """A row whose column count differs from the first row must be an
     error, not silently scrambled data."""

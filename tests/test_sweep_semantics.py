@@ -132,22 +132,24 @@ def test_max_norm_projection():
         assert float(jnp.linalg.norm(v.reshape(-1))) <= 0.5 + 1e-4
 
 
-def test_split_solve_matches_combined(monkeypatch):
-    """Split accumulate/solve programs == combined (forced via a tiny
-    TNF_FLAT_GRAM_MAX_D so every node takes the split path)."""
+def test_packed_sweep_matches_standard(monkeypatch):
+    """A sweep with the layout-packed Jacobian path (default) matches one
+    with packing disabled (TNF_PACKED_J=0) — the two builds are
+    algebraically identical."""
     X, y = _problem(S=96, f=4, seed=11)
     cfg = SweepConfig(num_swipes=2, eps=1e-3, batch_size=32)
 
-    l1 = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=7)
-    p_comb, ok1 = accumulating_sweep(l1.network, dict(l1.params), X, y,
-                                     SquareBregFunction(), cfg)
+    monkeypatch.setenv("TNF_PACKED_J", "0")
+    l1 = TensorTrainLayer(3, 3, 4, output_shape=(1,), seed=7)
+    p_std, ok1 = accumulating_sweep(l1.network, dict(l1.params), X, y,
+                                    SquareBregFunction(), cfg)
     assert ok1
 
-    monkeypatch.setenv("TNF_SPLIT_SOLVE_MIN_D", "1")
-    l2 = TensorTrainLayer(2, 3, 4, output_shape=(1,), seed=7)
-    p_split, ok2 = accumulating_sweep(l2.network, dict(l2.params), X, y,
-                                      SquareBregFunction(), cfg)
+    monkeypatch.setenv("TNF_PACKED_J", "1")
+    l2 = TensorTrainLayer(3, 3, 4, output_shape=(1,), seed=7)
+    p_pk, ok2 = accumulating_sweep(l2.network, dict(l2.params), X, y,
+                                   SquareBregFunction(), cfg)
     assert ok2
-    for k in p_comb:
-        np.testing.assert_allclose(np.asarray(p_split[k]),
-                                   np.asarray(p_comb[k]), rtol=2e-4, atol=2e-4)
+    for k in p_std:
+        np.testing.assert_allclose(np.asarray(p_pk[k]),
+                                   np.asarray(p_std[k]), rtol=2e-4, atol=2e-4)
