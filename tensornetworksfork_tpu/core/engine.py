@@ -301,16 +301,23 @@ class Network:
         J2 = J2.reshape((S_sz,) + out_sizes + (a0_sz, r_sz))
         node_shape = tuple(t.axis_size[a] for a in node_axes)
         return {"arr": J2, "out_part": out_part, "n_out": len(out_part),
-                "node_shape": node_shape, "a0_sz": a0_sz, "r_sz": r_sz}
+                "node_shape": node_shape, "a0_sz": a0_sz, "r_sz": r_sz,
+                # size-1 output axes absent from J (the out_total==1
+                # acceptance): packed_predict reinserts them so the packed
+                # prediction has the same shape as the output_keep path
+                "pad_out": len(t.output_axes) - len(out_part)}
 
     def packed_predict(self, pj, core: jax.Array) -> jax.Array:
         J2 = pj["arr"]
         n_out = pj["n_out"]
         core2 = core.reshape(pj["a0_sz"], pj["r_sz"])
         nd = J2.ndim
-        return jax.lax.dot_general(
+        pred = jax.lax.dot_general(
             J2, core2, (((nd - 2, nd - 1), (0, 1)), ((), ())),
             precision=self.precision)
+        if pj["pad_out"]:
+            pred = pred.reshape(pred.shape + (1,) * pj["pad_out"])
+        return pred
 
     def packed_gram_rhs(self, pj, grad: jax.Array, hess: jax.Array):
         """A = Jᵀ H J, b = Jᵀ g on the packed Jacobian. Requires the out
@@ -335,6 +342,36 @@ class Network:
         gd = gram_dtype() if not jnp.iscomplexobj(J2) else None
         dot_prec = (jax.lax.Precision.DEFAULT if gd is not None
                     else self.precision)
+        D = D0 * D1
+        # f32 big-D fast path: the Pallas syrk computes only the upper
+        # triangle (32.7 vs 26.5 TFLOP/s for the multi-dot at the flagship
+        # shape, benchmarks/gram_bench.py). The packed J3 is (S, C, D0, D1)
+        # with ~1.0-1.5x padding, so flattening to (S*C, D) is a cheap
+        # relayout copy, not the round-1 8x-padded OOM (that was the
+        # UNpacked multi-axis J). bf16 operands stay on the XLA multi-dot:
+        # they run DMA-bound, where syrk gains nothing and the flatten
+        # copies cost (measured, RESULTS.md kernel ladder).
+        use_syrk = (self.use_pallas and gd is None
+                    and not jnp.iscomplexobj(J2)
+                    and D >= int(os.environ.get("TNF_PACKED_SYRK_MIN_D",
+                                                "4096")))
+        if use_syrk:
+            from ..ops.pallas.gram import gram_pair, weighted_gram, _on_tpu
+            rows = S_sz * C_sz
+            Jf = J3.reshape(rows, D)
+            if diag:
+                # fused weighting: the H-weighted copy of J never hits HBM
+                A = weighted_gram(Jf, hess.reshape(rows).astype(jnp.float32),
+                                  interpret=not _on_tpu())
+            else:
+                H2 = hess.reshape(S_sz, C_sz, C_sz)
+                K3 = jax.lax.dot_general(
+                    H2, J3.reshape(S_sz, C_sz, D),
+                    (((1,), (1,)), ((0,), (0,))),
+                    precision=dot_prec).reshape(S_sz, C_sz, D0, D1)
+                A = gram_pair(Jf, K3.reshape(rows, D),
+                              interpret=not _on_tpu(), symmetric=True)
+            return A.astype(J2.dtype), b.reshape(D)
         if diag:
             h2 = hess.reshape(S_sz, -1)
             K3 = J3 * h2[:, :, None, None].astype(J3.dtype)
@@ -609,7 +646,7 @@ def _flat_gram(J3: jax.Array, W: jax.Array, diag: bool, precision,
 
     if S * C * D <= max_elems:
         return block_gram(J3, Jc, W)
-    bs = max((d for d in range(max_block, 0, -1) if S % d == 0), default=S)
+    bs = _flat_gram_block_size(S, max_block)
     nb = S // bs
     # statically unrolled block loop: a nested lax.scan here (the caller
     # already scans data chunks) crashes the TPU compiler at flagship shapes
@@ -618,6 +655,21 @@ def _flat_gram(J3: jax.Array, W: jax.Array, diag: bool, precision,
         sl = slice(i * bs, (i + 1) * bs)
         A = A + block_gram(J3[sl], Jc[sl], W[sl])
     return A
+
+
+def _flat_gram_block_size(S: int, max_block: int) -> int:
+    """Sample-block size for _flat_gram's statically unrolled loop.
+
+    Largest divisor of S <= max_block, then grown until the unroll count
+    nb = S/bs stays under TNF_FLAT_GRAM_MAX_UNROLL (default 64) — compile
+    time scales linearly in nb, so a pathological S (e.g. a huge dataset in
+    one chunk) must not explode it. bs = S (one block) always qualifies."""
+    bs = max((d for d in range(max_block, 0, -1) if S % d == 0), default=S)
+    max_unroll = int(os.environ.get("TNF_FLAT_GRAM_MAX_UNROLL", "64"))
+    if S // bs > max_unroll:
+        bs = min(d for d in range(bs, S + 1)
+                 if S % d == 0 and S // d <= max_unroll)
+    return bs
 
 
 def _embed_diag(hess_diag: jax.Array) -> jax.Array:

@@ -65,6 +65,16 @@ class SweepConfig:
 ITERATIVE_METHODS = ("cg", "minres", "lanczos")
 
 
+def _numeric_env_key():
+    """Env knobs read at TRACE time inside cached update programs: they must
+    participate in the jit-cache key (like use_pallas) or toggling them
+    mid-process would silently reuse programs traced with the old setting."""
+    return (os.environ.get("TNF_PACKED_J", "1"),
+            os.environ.get("TNF_GRAM_DTYPE", "f32").lower(),
+            os.environ.get("TNF_FLAT_GRAM_MAX_D", "8192"),
+            os.environ.get("TNF_PACKED_SYRK_MIN_D", "4096"))
+
+
 class Member:
     """One network of an (optional) type-I sum. `input_fn` adapts the global
     x to this member's inputs (reference slices x[..., :shape] per member,
@@ -89,6 +99,35 @@ class Sweeper:
         self.cfg = cfg
         self._jits: Dict = {}
         self._node_sols: Dict = {}
+        # per-phase wall-clock attribution (TNF_SWEEP_TIMERS=1): each jit
+        # call is synced (scalar fetch — block_until_ready is unreliable on
+        # the axon tunnel, CLAUDE.md) and accumulated under a phase label.
+        # Serialising dispatch inflates totals slightly; use for attribution,
+        # not headline numbers. benchmarks/epoch_bench.py reports the table.
+        self.timers: Dict[str, List[float]] = {}
+        self._timing = os.environ.get("TNF_SWEEP_TIMERS", "0") == "1"
+
+    def _timed(self, phase: str, fn, *args):
+        if not self._timing:
+            return fn(*args)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+        dt = time.perf_counter() - t0
+        acc = self.timers.setdefault(phase, [0.0, 0])
+        acc[0] += dt
+        acc[1] += 1
+        return out
+
+    def timer_report(self) -> str:
+        rows = sorted(self.timers.items(), key=lambda kv: -kv[1][0])
+        total = sum(v[0] for v in self.timers.values())
+        lines = [f"{'phase':<28} {'total_s':>8} {'calls':>6} {'ms/call':>8}"]
+        for k, (s, n) in rows:
+            lines.append(f"{k:<28} {s:>8.3f} {n:>6d} {s/n*1e3:>8.1f}")
+        lines.append(f"{'TOTAL':<28} {total:>8.3f}")
+        return "\n".join(lines)
 
     # ------------------------------------------------------------------ data
     def _prepare(self, x, y, sample_weight, mesh=None, model_labels=()):
@@ -211,7 +250,8 @@ class Sweeper:
         constant TT blocks with the sample axis as the last bond — reference
         layers.py:1420-1547). The jacobian contracts all nodes but ni
         directly; no chunking or environment carrying."""
-        key = ("upds", mid, ni, method, self.members[mid].net.use_pallas)
+        key = ("upds", mid, ni, method, self.members[mid].net.use_pallas,
+               _numeric_env_key())
         if key in self._jits:
             return self._jits[key]
         cfg = self.cfg
@@ -252,7 +292,8 @@ class Sweeper:
     def _jit_update(self, mid: int, ni: int, method: str, use_rest: bool,
                     return_pred: bool, B: int):
         net_pallas = self.members[mid].net.use_pallas
-        key = ("upd", mid, ni, method, use_rest, return_pred, B, net_pallas)
+        key = ("upd", mid, ni, method, use_rest, return_pred, B, net_pallas,
+               _numeric_env_key())
         if key in self._jits:
             return self._jits[key]
         cfg = self.cfg
@@ -593,10 +634,10 @@ class Sweeper:
                 # the remote compile service intermittently 500s under
                 # concurrent load (CLAUDE.md); back off and retry once —
                 # but only for that transient error class, not deterministic
-                # trace/shape errors
+                # trace/shape errors (broad tokens like 'INTERNAL' also match
+                # deterministic compile failures and would slow reporting)
                 msg = str(e)
-                if not ("remote_compile" in msg or "HTTP 500" in msg
-                        or "INTERNAL" in msg):
+                if not ("remote_compile" in msg or "HTTP 500" in msg):
                     raise
                 time.sleep(15)
                 out = fn(*args)
@@ -668,8 +709,9 @@ class Sweeper:
             y_members = None
             if use_rest:
                 y_members = [
-                    self._jit_member_forward(mi, data["B"])(
-                        params_list[mi], data["inputs"][mi])
+                    self._timed("member_forward",
+                                self._jit_member_forward(mi, data["B"]),
+                                params_list[mi], data["inputs"][mi])
                     for mi in range(len(self.members))
                 ]
 
@@ -769,7 +811,8 @@ class Sweeper:
             d = "l2r" if run_trend[rid] >= 0 else "r2l"
             cur_dir[mi] = d
             far_dir = "right" if d == "l2r" else "left"
-            far_envs[mi] = list(self._jit_far_envs(mi, far_dir)(
+            far_envs[mi] = list(self._timed(
+                "far_envs", self._jit_far_envs(mi, far_dir),
                 params_list[mi], data["inputs"][mi]))
             near_env[mi] = None
             near_col[mi] = -1 if d == "l2r" else len(net.topology.columns)
@@ -784,7 +827,9 @@ class Sweeper:
                    else near_col[mi] + step >= upto_col):
                 c = near_col[mi] + step
                 fn = self._jit_advance(mi, c, side, near_env[mi] is not None)
-                near_env[mi] = fn(params_list[mi], near_env[mi], data["inputs"][mi])
+                near_env[mi] = self._timed(
+                    "advance", fn, params_list[mi], near_env[mi],
+                    data["inputs"][mi])
                 near_col[mi] = c
 
         rest_cache: Dict[int, jax.Array] = {}
@@ -886,7 +931,8 @@ class Sweeper:
                 if x0 is None:
                     x0 = jnp.zeros((params_list[mi][
                         t.nodes[ni].name].size,), jnp.float32)
-            new_core, loss_sum, ok, pred, x_sol = upd(
+            new_core, loss_sum, ok, pred, x_sol = self._timed(
+                f"update:{t.nodes[ni].name}", upd,
                 params_list[mi], L, R, data["inputs"][mi], data["y"],
                 data["w"], rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
             if x_sol is not None:

@@ -79,6 +79,15 @@ long tnf_parse_csv(const char* path, float* out, long capacity,
     }
     while (p < end) {
         if (*p == '\n' || *p == '\r') { p++; continue; }  // blank line
+        // whitespace-only lines (e.g. a trailing line of spaces) count as
+        // blank too — they would otherwise parse as a 1-cell row and fail
+        // the whole file with -3 (jagged row)
+        char* q = p;
+        while (q < end && (*q == ' ' || *q == '\t')) q++;
+        if (q == end || *q == '\n' || *q == '\r') {
+            p = (q < end) ? q + 1 : q;
+            continue;
+        }
         int cols = 0;
         for (;;) {
             // one field per iteration; empty or non-numeric fields emit 0.0.

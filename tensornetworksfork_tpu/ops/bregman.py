@@ -8,6 +8,10 @@ Contract (reference `/root/reference/tensor/bregman.py:5-32`): a loss object's
     hess : full  (B, *out, *out)  or  diagonal (B, *out)
 
 The engine's Gram builder distinguishes the two Hessian forms by ndim.
+A full Hessian MUST be symmetric in its (out, out') block per sample — every
+Gauss-Newton/Bregman Hessian is — because the Gram kernels (Pallas syrk and
+the packed path) exploit A = JᴴHJ symmetry by computing only the upper
+triangle and mirroring; a non-symmetric hess would be silently symmetrised.
 Autograd variants use `jax.grad`/`jax.jacfwd` per sample under `vmap` instead
 of the reference's Python loop over output channels (bregman.py:210-214),
 which vectorises the Hessian build.

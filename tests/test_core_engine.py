@@ -181,3 +181,51 @@ def test_packed_jacobian_matches_standard():
                                        np.asarray(b1).reshape(-1),
                                        rtol=2e-3, atol=2e-3)
     assert checked >= 2, f"packed path covered only {checked} nodes"
+
+
+def test_flat_gram_block_size_unroll_cap(monkeypatch):
+    """The statically unrolled block loop in _flat_gram must stay bounded:
+    compile time scales linearly in nb = S/bs (VERDICT r02 weak #5)."""
+    from tensornetworksfork_tpu.core.engine import (_flat_gram,
+                                                    _flat_gram_block_size)
+    # pathological S: small divisors only -> round-2 logic picked bs=128
+    # and nb = 1024 unrolled blocks; the cap must grow bs instead
+    S = 128 * 1024
+    bs = _flat_gram_block_size(S, max_block=512)
+    assert S % bs == 0 and S // bs <= 64
+    # prime S: only divisors are 1 and S -> one block
+    assert _flat_gram_block_size(100003, max_block=512) == 100003
+    # the cap is tunable
+    monkeypatch.setenv("TNF_FLAT_GRAM_MAX_UNROLL", "8")
+    bs = _flat_gram_block_size(4096, max_block=16)
+    assert 4096 % bs == 0 and 4096 // bs <= 8
+    monkeypatch.delenv("TNF_FLAT_GRAM_MAX_UNROLL")
+    # numerically: blocked path == single dot on a >max_elems case
+    rng = np.random.default_rng(0)
+    J3 = jnp.asarray(rng.standard_normal((96, 1, 8)), jnp.float32)
+    W = jnp.asarray(rng.random((96, 1)), jnp.float32)
+    import jax.lax
+    A_blocked = _flat_gram(J3, W, True, jax.lax.Precision.HIGHEST,
+                           max_block=16, max_elems=1)
+    A_direct = _flat_gram(J3, W, True, jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(A_blocked), np.asarray(A_direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_update_jit_cache_keys_include_numeric_env(monkeypatch):
+    """TNF_PACKED_J / TNF_GRAM_DTYPE are read at trace time inside cached
+    update programs; toggling them must retrace, not reuse stale programs."""
+    from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
+    layer = TensorTrainLayer(2, 3, 3, output_shape=(2,), seed=0)
+    sw = Sweeper(layer.network, SquareBregFunction(), SweepConfig())
+    ni = layer.topology.train_nodes[0]
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "f32")
+    f1 = sw._jit_update(0, ni, "ridge_cholesky", False, False, 4)
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "bf16")
+    f2 = sw._jit_update(0, ni, "ridge_cholesky", False, False, 4)
+    assert f1 is not f2
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "f32")
+    assert sw._jit_update(0, ni, "ridge_cholesky", False, False, 4) is f1
+    monkeypatch.setenv("TNF_PACKED_J", "0")
+    f3 = sw._jit_update(0, ni, "ridge_cholesky", False, False, 4)
+    assert f3 is not f1

@@ -66,6 +66,24 @@ def test_native_csv_whitespace_cells(tmp_path):
     np.testing.assert_allclose(mat, [[1, 2, 0], [3, 4, 0], [5, 6, 7]])
 
 
+def test_native_csv_trailing_whitespace_line(tmp_path):
+    """A whitespace-only (or blank) trailing line is ignored like a blank
+    line — it must not parse as a 1-cell row and fail the file as jagged."""
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    p = str(tmp_path / "tw.csv")
+    with open(p, "w") as f:
+        f.write("1,2\n3,4\n   \n")
+    mat, ncols = native.parse_csv(p, skip_header=False)
+    assert ncols == 2
+    np.testing.assert_allclose(mat, [[1, 2], [3, 4]])
+    # interior whitespace-only lines are skipped the same way
+    with open(p, "w") as f:
+        f.write("1,2\n\t \n3,4\n")
+    mat, ncols = native.parse_csv(p, skip_header=False)
+    np.testing.assert_allclose(mat, [[1, 2], [3, 4]])
+
+
 def test_native_csv_jagged_rows_error(tmp_path):
     """A row whose column count differs from the first row must be an
     error, not silently scrambled data."""

@@ -211,3 +211,49 @@ def test_engine_pallas_full_hessian_path():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_packed_gram_syrk_route_matches_dot(monkeypatch):
+    """The f32 packed-Gram Pallas syrk route (big-D fast path) must equal
+    the multi-contracting-dim dot, for both full and diagonal Hessians."""
+    import jax
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import (SquareBregFunction,
+                                                    XEBregman)
+
+    layer = TensorConvolutionTrainLayer(3, 4, 5, 3, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    t = layer.topology
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((16, 5, 3)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 16)])
+    params = layer.params
+    net_dot = Network(t, use_pallas=False)
+    net_syrk = Network(t, use_pallas=True)
+    inputs = net_dot.bind_inputs(x)
+    envs_l = net_dot.env_chain(params, inputs, "left")
+    envs_r = net_dot.env_chain(params, inputs, "right")
+    # force the syrk branch at tiny D
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    checked = 0
+    for ni in t.train_nodes:
+        ci = t.col_of[ni]
+        L = envs_l[ci - 1] if ci > 0 else None
+        R = envs_r[ci + 1] if ci < len(t.columns) - 1 else None
+        pj = net_dot.packed_jacobian(ni, params, inputs, L, R)
+        if pj is None:
+            continue
+        checked += 1
+        pred = net_dot.packed_predict(pj, params[t.nodes[ni].name])
+        for loss_fn in (XEBregman(w=1.0), SquareBregFunction()):
+            yy = y if isinstance(loss_fn, XEBregman) else jnp.zeros_like(pred)
+            _, g, H = loss_fn(pred, yy)
+            A_dot, b_dot = net_dot.packed_gram_rhs(pj, g, H)
+            A_syr, b_syr = net_syrk.packed_gram_rhs(pj, g, H)
+            np.testing.assert_allclose(np.asarray(A_syr), np.asarray(A_dot),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(b_syr), np.asarray(b_dot),
+                                       rtol=2e-4, atol=2e-4)
+    assert checked >= 2
