@@ -45,7 +45,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=2, seed=0):
+def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=2, seed=0,
+                      method="ridge_cholesky"):
     import jax
     import jax.numpy as jnp
     from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
@@ -59,8 +60,8 @@ def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=2, seed=0):
     layer = TensorConvolutionTrainLayer(
         num_carriages=N, bond_dim=r, num_patches=P, patch_pixels=pp,
         output_shape=(C,), convolution_bond=CB, seed=seed)
-    cfg = SweepConfig(num_swipes=1, batch_size=batch, method="ridge_cholesky",
-                      eps=5.0, eps_decay=0.25)
+    cfg = SweepConfig(num_swipes=1, batch_size=batch, method=method,
+                      eps=5.0, eps_decay=0.25, max_iter=50)
     sweeper = Sweeper(layer.network, XEBregman(w=1.0), cfg)
 
     # warmup: parallel-compile every per-node update + env program, then one
@@ -105,6 +106,11 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the steady epochs")
+    ap.add_argument("--method", default="ridge_cholesky",
+                    help="node-solve method: ridge_cholesky (default) or the "
+                         "matrix-free tier cg|minres|lanczos "
+                         "(benchmarks/solver_bench.py measures these per "
+                         "node at flagship shapes)")
     args = ap.parse_args()
     if args.profile:
         import jax.profiler
@@ -131,7 +137,8 @@ def main():
     for name in order:
         try:
             signal.alarm(budgets[name])
-            t_full, flops = our_epoch_seconds(**CONFIGS[name])
+            t_full, flops = our_epoch_seconds(**CONFIGS[name],
+                                              method=args.method)
             signal.alarm(0)
             used = name
             break

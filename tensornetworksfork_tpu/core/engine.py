@@ -38,11 +38,13 @@ Operand = Tuple[Tuple[int, ...], jax.Array]
 # SURVEY.md §7 hard part 1). TNF_PRECISION=default switches to single-pass
 # bf16 — ~4x faster on the Gram einsums, at ~1e-2 relative error in A
 # (benchmarking mode; validate accuracy per config before trusting it).
-DEFAULT_PRECISION = {
+_PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
-}[os.environ.get("TNF_PRECISION", "highest").lower()]
+}
+DEFAULT_PRECISION = _PRECISIONS[os.environ.get("TNF_PRECISION",
+                                               "highest").lower()]
 
 
 def _prime(a):
@@ -66,6 +68,11 @@ class Network:
             from ..ops.pallas.gram import pallas_enabled
             use_pallas = pallas_enabled()
         self.use_pallas = use_pallas
+        # Active device mesh for the Pallas tier (set by Sweeper.run(mesh=) on
+        # 1-D data meshes): kernels run per-shard under shard_map with a psum
+        # on the partial Gram — GSPMD cannot partition the custom call itself.
+        self.mesh = None
+        self.mesh_axis = "data"
         self.topology = topology
         self.consts = dict(consts or {})
         for spec in topology.nodes:
@@ -78,6 +85,62 @@ class Network:
             set().union(*(set(t.node_axes[ni]) for ni in col)) if col else set()
             for col in t.columns
         ]
+
+    # ------------------------------------------------------------ precisions
+    @property
+    def aux_precision(self):
+        """Precision for the auxiliary contraction tier: environment chains,
+        Jacobian builds, predictions, rhs dots, K builds. TNF_AUX_PRECISION
+        (highest|high|default) relaxes it independently of the Gram policy —
+        'default' runs these single-pass bf16-operand/f32-accumulate on the
+        MXU (measured ~3-6x on env/J work) while A's dot keeps its own ladder
+        (TNF_GRAM_DTYPE) and the Cholesky solves stay full f32. Read per
+        trace; participates in the sweep's jit cache key
+        (sweep._numeric_env_key)."""
+        name = os.environ.get("TNF_AUX_PRECISION")
+        if name is None:
+            return self.precision
+        return _PRECISIONS[name.lower()]
+
+    # ------------------------------------------------------------- pallas tier
+    def _kernel_gram(self, kind: str, X: jax.Array, Y: jax.Array) -> jax.Array:
+        """Dispatch a Pallas Gram kernel: A = Xᵀ diag(Y) X ('weighted') or
+        Xᵀ Y ('pair', symmetric). X is (rows, D) with rows the flattened
+        (sample, class) axis.
+
+        With an active 1-D data mesh (self.mesh), the call is wrapped in
+        shard_map over the row axis: each device runs the kernel on its local
+        row shard and the partial Grams are psum'd — exactly the sharded
+        accumulation GSPMD performs for the XLA dot paths, so
+        sharded-with-pallas == single-device (tested on the 8-device CPU
+        mesh). GSPMD alone cannot partition a pallas_call custom call."""
+        from ..ops.pallas.gram import _on_tpu, gram_pair, weighted_gram
+        interp = not _on_tpu()
+
+        def call(x, y):
+            if kind == "weighted":
+                return weighted_gram(x, y, interpret=interp)
+            return gram_pair(x, y, interpret=interp, symmetric=True)
+
+        if self.mesh is None:
+            return call(X, Y)
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        axis = self.mesh_axis
+
+        def sharded(x, y):
+            return jax.lax.psum(call(x, y), axis)
+
+        yspec = P(axis, None) if Y.ndim == 2 else P(axis)
+        # check_vma=False: pallas_call's out ShapeDtypeStruct carries no vma
+        # metadata, which the checker (jax>=0.9) would reject; the psum makes
+        # the output mesh-invariant by construction.
+        return shard_map(sharded, mesh=self.mesh,
+                         in_specs=(P(axis, None), yspec),
+                         out_specs=P(), check_vma=False)(X, Y)
 
     # ------------------------------------------------------------------ inputs
     def bind_inputs(self, x) -> Dict[str, jax.Array]:
@@ -109,12 +172,22 @@ class Network:
 
     # ------------------------------------------------------------------- keeps
     def _keep_for_group(self, group_axes: set, outside_axes: set) -> Tuple[int, ...]:
+        """Environment keep order: bond/output axes first, SAMPLE AXIS LAST.
+
+        TPU layout discipline (docs/DESIGN.md): program-boundary arrays tile
+        their last two dims to (8, 128). Env arrays' non-sample axes are
+        small (bond r, conv bond CB, classes C — 8..18), so sample-first
+        order pads the lane dim up to 16x and the env DMA dominated the
+        round-2 epoch's non-Gram overhead (advance 78 ms/call measured vs
+        ~2 ms of MXU work). With the big sample axis minor, padding is ~1x.
+        All consumers address axes symbolically, so only this order changes.
+        """
         t = self.topology
         want = group_axes & (outside_axes | set(t.output_axes))
         want.discard(t.sample_axis)
         ordered = tuple(sorted(want))
         if t.sample_axis in group_axes:
-            return (t.sample_axis,) + ordered
+            return ordered + (t.sample_axis,)
         return ordered
 
     def env_keep(self, cols: Sequence[int]) -> Tuple[int, ...]:
@@ -132,7 +205,7 @@ class Network:
         compute_stacks inner loop, network.py:62-69)."""
         ops = ([prev] if prev is not None else []) + self.column_operands(ci, params, inputs)
         keep = self.env_keep(cols_so_far)
-        return (keep, contract(ops, keep, self.precision))
+        return (keep, contract(ops, keep, self.aux_precision))
 
     def env_chain(self, params, inputs, direction: str = "left") -> List[Optional[Operand]]:
         """envs[c] = contraction of columns 0..c (left) or c..end (right)."""
@@ -181,7 +254,13 @@ class Network:
 
     def jacobian_keep(self, ni: int, operands: Sequence[Operand]) -> Tuple[int, ...]:
         """Jacobian axis order is (s, out axes..., node axes...): downstream
-        Gram flattening then reshapes J without any transpose copy."""
+        Gram flattening then reshapes J without any transpose copy.
+
+        When J carries NO output axes (the node owns them all — e.g. the
+        first TT/conv-TT core) the sample axis goes LAST instead: the node
+        axes are small (p, r), so sample-first would tile-pad the minor dims
+        up to 8x (the env-array lesson, _keep_for_group) while sample-last
+        pads ~1.3x. All consumers address J axes symbolically."""
         t = self.topology
         present = set()
         for axes, _ in operands:
@@ -190,6 +269,8 @@ class Network:
         out_part = tuple(a for a in t.output_axes
                          if a in present and a not in node_axes)
         node_part = tuple(dict.fromkeys(a for a in node_axes if a in present))
+        if not out_part:
+            return node_part + (t.sample_axis,)
         return (t.sample_axis,) + out_part + node_part
 
     def jacobian(self, ni: int, params, inputs, left_env, right_env) -> Operand:
@@ -198,7 +279,7 @@ class Network:
         compute_jacobian_stack, network.py:101-113)."""
         ops = self.jacobian_operands(ni, params, inputs, left_env, right_env)
         keep = self.jacobian_keep(ni, ops)
-        return (keep, contract(ops, keep, self.precision))
+        return (keep, contract(ops, keep, self.aux_precision))
 
     # ------------------------------------------------------ packed jacobian
     # TPU layout note (measured, see CLAUDE.md): a Jacobian materialised with
@@ -277,7 +358,7 @@ class Network:
             return None  # stage-1 result must carry the sample axis
         # stage 1: everything but L, rest axes flattened last
         W_keep = (s,) + bridges + rest
-        W = contract(others, W_keep, self.precision)
+        W = contract(others, W_keep, self.aux_precision)
         S_sz = W.shape[0]
         b_sz = 1
         for a in bridges:
@@ -296,7 +377,19 @@ class Network:
         a0_sz = t.axis_size[a0]
         L3 = L2.reshape(S_sz, c_sz * a0_sz, b_sz)
         J2 = jax.lax.dot_general(L3, W2, (((2,), (1,)), ((0,), (0,))),
-                                 precision=self.precision)
+                                 precision=self.aux_precision)
+        from ..ops.pallas.gram import gram_dtype
+        gd = gram_dtype()
+        if gd is not None:
+            # Store the packed J directly in the Gram operand dtype: every
+            # downstream consumer (Gram dot, K build, rhs, prediction)
+            # either wants bf16 operands or runs at DEFAULT precision, which
+            # rounds operands to bf16 anyway — so this loses nothing
+            # numerically and halves J's HBM footprint (the f32 J was
+            # written once and read three times per chunk, ~7 ms/chunk of
+            # pure DMA at flagship shapes). The cast fuses into the dot's
+            # epilogue; the f32 J never reaches HBM.
+            J2 = J2.astype(gd)
         out_sizes = tuple(t.axis_size[a] for a in out_part)
         J2 = J2.reshape((S_sz,) + out_sizes + (a0_sz, r_sz))
         node_shape = tuple(t.axis_size[a] for a in node_axes)
@@ -310,11 +403,12 @@ class Network:
     def packed_predict(self, pj, core: jax.Array) -> jax.Array:
         J2 = pj["arr"]
         n_out = pj["n_out"]
-        core2 = core.reshape(pj["a0_sz"], pj["r_sz"])
+        core2 = core.reshape(pj["a0_sz"], pj["r_sz"]).astype(J2.dtype)
         nd = J2.ndim
         pred = jax.lax.dot_general(
             J2, core2, (((nd - 2, nd - 1), (0, 1)), ((), ())),
-            precision=self.precision)
+            precision=self.aux_precision,
+            preferred_element_type=jnp.float32)
         if pj["pad_out"]:
             pred = pred.reshape(pred.shape + (1,) * pj["pad_out"])
         return pred
@@ -335,9 +429,10 @@ class Network:
         D0, D1 = pj["a0_sz"], pj["r_sz"]
         J3 = J2.reshape(S_sz, C_sz, D0, D1)
         diag = hess.ndim == grad.ndim
-        g2 = grad.reshape(S_sz, -1)
+        g2 = grad.reshape(S_sz, -1).astype(J3.dtype)
         b = jax.lax.dot_general(J3, g2, (((0, 1), (0, 1)), ((), ())),
-                                precision=self.precision)
+                                precision=self.aux_precision,
+                                preferred_element_type=jnp.float32)
         from ..ops.pallas.gram import gram_dtype
         gd = gram_dtype() if not jnp.iscomplexobj(J2) else None
         dot_prec = (jax.lax.Precision.DEFAULT if gd is not None
@@ -356,28 +451,28 @@ class Network:
                     and D >= int(os.environ.get("TNF_PACKED_SYRK_MIN_D",
                                                 "4096")))
         if use_syrk:
-            from ..ops.pallas.gram import gram_pair, weighted_gram, _on_tpu
             rows = S_sz * C_sz
             Jf = J3.reshape(rows, D)
             if diag:
                 # fused weighting: the H-weighted copy of J never hits HBM
-                A = weighted_gram(Jf, hess.reshape(rows).astype(jnp.float32),
-                                  interpret=not _on_tpu())
+                A = self._kernel_gram(
+                    "weighted", Jf, hess.reshape(rows).astype(jnp.float32))
             else:
                 H2 = hess.reshape(S_sz, C_sz, C_sz)
                 K3 = jax.lax.dot_general(
                     H2, J3.reshape(S_sz, C_sz, D),
                     (((1,), (1,)), ((0,), (0,))),
                     precision=dot_prec).reshape(S_sz, C_sz, D0, D1)
-                A = gram_pair(Jf, K3.reshape(rows, D),
-                              interpret=not _on_tpu(), symmetric=True)
+                A = self._kernel_gram("pair", Jf, K3.reshape(rows, D))
             return A.astype(J2.dtype), b.reshape(D)
         if diag:
             h2 = hess.reshape(S_sz, -1)
             K3 = J3 * h2[:, :, None, None].astype(J3.dtype)
         else:
-            H2 = hess.reshape(S_sz, C_sz, C_sz)
-            # K[s,c',d0,d1] = sum_c H[s,c,c'] J[s,c,d0,d1]
+            H2 = hess.reshape(S_sz, C_sz, C_sz).astype(J3.dtype)
+            # K[s,c',d0,d1] = sum_c H[s,c,c'] J[s,c,d0,d1]; with a bf16 J
+            # the K build and K itself stay bf16 (C-sized reduction, far
+            # below the operand rounding)
             K3 = jax.lax.dot_general(
                 H2, J3.reshape(S_sz, C_sz, D0 * D1),
                 (((1,), (1,)), ((0,), (0,))),
@@ -387,7 +482,7 @@ class Network:
             Jop, Kop = J3.astype(gd), K3.astype(gd)
         A = jax.lax.dot_general(Jop, Kop, (((0, 1), (0, 1)), ((), ())),
                                 precision=dot_prec,
-                                preferred_element_type=J2.dtype)
+                                preferred_element_type=jnp.float32)
         # Returned FLAT — (D, D) and (D,) — in the node's own flattening
         # order ((a0, rest) == node axes). The caller accumulates and solves
         # in this form: a (D, D) array tiles at ~1.0x, while the node-shaped
@@ -404,7 +499,7 @@ class Network:
         J_axes, J_arr = J
         node_axes = self.topology.node_axes[ni]
         return contract([(J_axes, J_arr), (node_axes, core)], self.output_keep(),
-                        self.precision)
+                        self.aux_precision)
 
     # ------------------------------------------------------------------- A, b
     def gram_and_rhs(self, ni: int, J: Operand, grad: jax.Array,
@@ -430,7 +525,8 @@ class Network:
             raise ValueError(f"node axes {missing} appear in neither jacobian nor outputs")
 
         g_axes = (s,) + out_axes
-        b = contract([(J_axes, Jc), (g_axes, grad)], node_axes, self.precision)
+        b = contract([(J_axes, Jc), (g_axes, grad)], node_axes,
+                     self.aux_precision)
 
         diag = hess.ndim == grad.ndim
 
@@ -520,8 +616,7 @@ class Network:
             else:
                 W = hess.reshape(S, C, C)
             if self.use_pallas and not jnp.iscomplexobj(J_arr):
-                from ..ops.pallas.gram import (gram_pair, gram_dtype,
-                                               weighted_gram, _on_tpu)
+                from ..ops.pallas.gram import gram_dtype
                 gd = gram_dtype()
                 J2 = J3.reshape(S * C, D)
                 if gd is not None:
@@ -529,16 +624,14 @@ class Network:
                 if diag:
                     # fused-weighting kernel: the weighted copy of J never
                     # hits HBM
-                    A = weighted_gram(J2, W.reshape(S * C),
-                                      interpret=not _on_tpu())
+                    A = self._kernel_gram("weighted", J2, W.reshape(S * C))
                 else:
                     K3 = jnp.einsum("scd,sci->sdi", W.astype(J3.dtype), J3,
                                     precision=self.precision)
                     K2 = K3.reshape(S * C, D)
                     if gd is not None:
                         K2 = K2.astype(gd)
-                    A = gram_pair(J2, K2, interpret=not _on_tpu(),
-                                  symmetric=True)
+                    A = self._kernel_gram("pair", J2, K2)
             else:
                 A = _flat_gram(J3, W, diag, self.precision)
             return A.reshape(node_shape + node_shape), b
@@ -551,6 +644,62 @@ class Network:
             # (rare: diagonal Hessian + multi-class output on this node).
             hess = _embed_diag(hess)
             diag = False
+
+        # ---- structured path for output-owning nodes ----------------------
+        # When the node owns ALL output axes (the first TT/conv-TT core), J
+        # carries none of them and A[c,d,c',d'] = sum_s H[s,c,c'] J[s,d]
+        # J[s,d'] — an H-weighted batch of outer products. Materialising
+        # K[s,c,c',d] = H*J and finishing with ONE dot over s does the same
+        # FLOPs as the best einsum path but with controlled layout (minor dim
+        # DJ large) and a bf16-operand route under TNF_GRAM_DTYPE — measured
+        # 4x on the flagship A1 update (the einsum ran ~7 TFLOP/s).
+        if (not diag and out_axes
+                and all(a in node_axes for a in out_axes)
+                and not any(a in J_axes for a in out_axes)
+                and not jnp.iscomplexobj(J_arr)):
+            rest = tuple(a for a in node_axes if a not in out_axes)
+            if (set(J_axes) == {s, *rest}
+                    and len(J_axes) == 1 + len(rest)
+                    and len(set(node_axes)) == len(node_axes)):
+                S_sz = J_arr.shape[J_axes.index(s)]
+                C_sz = 1
+                for a in out_axes:
+                    C_sz *= t.axis_size[a]
+                DJ = 1
+                for a in rest:
+                    DJ *= t.axis_size[a]
+                cap = int(os.environ.get("TNF_OWNOUT_K_MAX_ELEMS",
+                                         str(1 << 28)))
+                if S_sz * C_sz * C_sz * DJ <= cap:
+                    from ..ops.pallas.gram import gram_dtype
+                    gd = gram_dtype()
+                    perm = [J_axes.index(s)] + [J_axes.index(a) for a in rest]
+                    Jf = jnp.transpose(J_arr, perm).reshape(S_sz, DJ)
+                    Hf = hess.reshape(S_sz, C_sz, C_sz)
+                    Jop = Jf if gd is None else Jf.astype(gd)
+                    Hop = Hf if gd is None else Hf.astype(gd)
+                    K4 = Hop[:, :, :, None] * Jop[:, None, None, :]
+                    dot_prec = (self.precision if gd is None
+                                else jax.lax.Precision.DEFAULT)
+                    A_raw = jax.lax.dot_general(
+                        K4.reshape(S_sz, C_sz * C_sz * DJ), Jop,
+                        (((0,), (0,)), ((), ())),
+                        precision=dot_prec,
+                        preferred_element_type=J_arr.dtype)
+                    out_sizes = tuple(t.axis_size[a] for a in out_axes)
+                    rest_sizes = tuple(t.axis_size[a] for a in rest)
+                    A5 = A_raw.reshape(out_sizes + out_sizes
+                                       + rest_sizes + rest_sizes)
+                    # computed axis order: (out..., out'..., rest..., rest');
+                    # transpose to keep_A = node_axes + primed(node_axes)
+                    O, R = len(out_axes), len(rest)
+                    upos = {a: i for i, a in enumerate(out_axes)}
+                    upos.update({a: 2 * O + j for j, a in enumerate(rest)})
+                    ppos = {a: O + i for i, a in enumerate(out_axes)}
+                    ppos.update({a: 2 * O + R + j for j, a in enumerate(rest)})
+                    perm_out = ([upos[a] for a in node_axes]
+                                + [ppos[a] for a in node_axes])
+                    return jnp.transpose(A5, perm_out), b
         if diag:
             # H[s, c] couples only c==c': both Jacobian copies share the
             # unprimed out axes; only node axes get primed on the second copy.

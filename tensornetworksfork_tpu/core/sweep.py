@@ -65,6 +65,16 @@ class SweepConfig:
 ITERATIVE_METHODS = ("cg", "minres", "lanczos")
 
 
+def _net_mode_key(net):
+    """Trace-time Network state that changes the compiled update program:
+    the Pallas flag and the active shard_map mesh (engine._kernel_gram
+    closes over net.mesh at trace time)."""
+    mesh = net.mesh
+    mk = (None if mesh is None
+          else (net.mesh_axis, tuple(sorted(dict(mesh.shape).items()))))
+    return (net.use_pallas, mk)
+
+
 def _numeric_env_key():
     """Env knobs read at TRACE time inside cached update programs: they must
     participate in the jit-cache key (like use_pallas) or toggling them
@@ -72,7 +82,9 @@ def _numeric_env_key():
     return (os.environ.get("TNF_PACKED_J", "1"),
             os.environ.get("TNF_GRAM_DTYPE", "f32").lower(),
             os.environ.get("TNF_FLAT_GRAM_MAX_D", "8192"),
-            os.environ.get("TNF_PACKED_SYRK_MIN_D", "4096"))
+            os.environ.get("TNF_PACKED_SYRK_MIN_D", "4096"),
+            os.environ.get("TNF_AUX_PRECISION", ""),
+            os.environ.get("TNF_OWNOUT_K_MAX_ELEMS", ""))
 
 
 class Member:
@@ -250,8 +262,8 @@ class Sweeper:
         constant TT blocks with the sample axis as the last bond — reference
         layers.py:1420-1547). The jacobian contracts all nodes but ni
         directly; no chunking or environment carrying."""
-        key = ("upds", mid, ni, method, self.members[mid].net.use_pallas,
-               _numeric_env_key())
+        key = ("upds", mid, ni, method,
+               _net_mode_key(self.members[mid].net), _numeric_env_key())
         if key in self._jits:
             return self._jits[key]
         cfg = self.cfg
@@ -291,9 +303,8 @@ class Sweeper:
 
     def _jit_update(self, mid: int, ni: int, method: str, use_rest: bool,
                     return_pred: bool, B: int):
-        net_pallas = self.members[mid].net.use_pallas
-        key = ("upd", mid, ni, method, use_rest, return_pred, B, net_pallas,
-               _numeric_env_key())
+        key = ("upd", mid, ni, method, use_rest, return_pred, B,
+               _net_mode_key(self.members[mid].net), _numeric_env_key())
         if key in self._jits:
             return self._jits[key]
         cfg = self.cfg
@@ -540,19 +551,13 @@ class Sweeper:
             max_workers = int(os.environ.get("TNF_COMPILE_WORKERS", "4"))
         if isinstance(params_list, dict):
             params_list = [params_list]
-        saved_pallas = None
-        if mesh is not None:  # mirror run(): no pallas in GSPMD programs
-            saved_pallas = [m.net.use_pallas for m in self.members]
-            for m in self.members:
-                m.net.use_pallas = False
+        saved_pallas = self._set_mesh_mode(mesh, tuple(model_axis_labels))
         try:
             return self._precompile_inner(
                 params_list, x, y, sample_weight, mesh, max_workers,
                 node_order, tuple(model_axis_labels))
         finally:
-            if saved_pallas is not None:
-                for m, p in zip(self.members, saved_pallas):
-                    m.net.use_pallas = p
+            self._restore_mesh_mode(saved_pallas)
 
     def _precompile_inner(self, params_list, x, y, sample_weight, mesh,
                           max_workers, node_order, model_axis_labels):
@@ -675,17 +680,7 @@ class Sweeper:
         if isinstance(params_list, dict):
             params_list = [params_list]
         params_list = list(params_list)
-        # Pallas grams are custom calls GSPMD cannot partition: on a sharded
-        # (mesh) run the engine must take the XLA paths, which XLA partitions
-        # exactly (the per-shard Gram partial sums psum cleanly). use_pallas
-        # participates in the update-jit cache key, so mixed mesh/single-chip
-        # use of one Sweeper stays consistent. The flip is restored in the
-        # finally below, which also covers failures during data prep.
-        saved_pallas = None
-        if mesh is not None:
-            saved_pallas = [m.net.use_pallas for m in self.members]
-            for m in self.members:
-                m.net.use_pallas = False
+        saved_pallas = self._set_mesh_mode(mesh, model_axis_labels)
         try:
             # live view for callbacks: convergence_criterion closures read
             # current params through sweeper.params_list (the reference reads
@@ -737,9 +732,39 @@ class Sweeper:
                         return params_list, True
             return params_list, True
         finally:
-            if saved_pallas is not None:
-                for m, p in zip(self.members, saved_pallas):
-                    m.net.use_pallas = p
+            self._restore_mesh_mode(saved_pallas)
+
+    def _set_mesh_mode(self, mesh, model_axis_labels=()):
+        """Configure the members' Pallas tier for a mesh run; returns the
+        saved state for _restore_mesh_mode (restored in a finally so failures
+        during data prep can't leak the flip).
+
+        Pallas grams are custom calls GSPMD cannot partition. On a 1-D data
+        mesh the engine wraps them in shard_map over the row axis with a psum
+        on the partial Gram (engine._kernel_gram) — the kernels stay ON. With
+        tensor parallelism (a 'model' axis sharding node dims) the Gram's D
+        axis itself is sharded, which a local kernel + psum cannot express, so
+        the engine falls back to the XLA dot paths, which GSPMD partitions
+        exactly. use_pallas and the mesh participate in the update-jit cache
+        key, so mixed mesh/single-chip use of one Sweeper stays consistent."""
+        if mesh is None:
+            return None
+        data_only = (not model_axis_labels
+                     and dict(mesh.shape).get("model", 1) == 1)
+        saved = [(m.net.use_pallas, m.net.mesh) for m in self.members]
+        for m in self.members:
+            if data_only:
+                m.net.mesh = mesh
+            else:
+                m.net.use_pallas = False
+                m.net.mesh = None
+        return saved
+
+    def _restore_mesh_mode(self, saved):
+        if saved is not None:
+            for m, (p, mesh) in zip(self.members, saved):
+                m.net.use_pallas = p
+                m.net.mesh = mesh
 
     # ------------------------------------------------------------- half pass
     def _eps_for(self, NS: int, node_i: int, n_nodes: int, reverse: bool):
@@ -772,6 +797,13 @@ class Sweeper:
         # the far side is precomputed once; at a run boundary (e.g. the conv
         # layer's cores-then-conv-blocks train order, layers.py:890) the far
         # envs are rebuilt against the freshly updated params.
+        # A fresh run starts direction-neutral (trend 0): the boundary-
+        # crossing step itself (e.g. A4 -> C1 in the conv train order,
+        # column 3 -> 0) doesn't commit the new run to a direction — the
+        # step WITHIN the new run does. Otherwise the first node after a
+        # flip would sit alone in a one-node "run", costing an extra far-env
+        # chain per half-pass (measured: 5 -> 4 far_envs/epoch on the
+        # flagship).
         run_of = [0] * n_nodes
         run_trend: Dict[int, int] = {}
         cur_run = -1
@@ -787,12 +819,14 @@ class Sweeper:
                     if trend < 0:
                         cur_run += 1
                         trend = 0
-                    trend = max(trend, 1) if trend >= 0 else 1
+                    else:
+                        trend = 1
                 elif ci < pci:
                     if trend > 0:
                         cur_run += 1
                         trend = 0
-                    trend = -1
+                    else:
+                        trend = -1
             run_of[i] = cur_run
             run_trend[cur_run] = trend
             prev = (mi, ci, trend)

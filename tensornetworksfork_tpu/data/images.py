@@ -25,6 +25,29 @@ from ..ops.patches import image_to_conv_input
 
 MNIST_MEAN, MNIST_STD = 0.1307, 0.3081
 
+# Dataset registry mirroring the reference's
+# (`/root/reference/train_image.py:12-49`): per-dataset class count, input
+# channels, per-channel normalize (mean, std), and the default kernel/stride
+# used by the image drivers. ImageNet keeps the reference's quirk of
+# num_classes=100 (a deliberate subset there).
+DATASETS = {
+    "mnist": dict(num_classes=10, channels=1,
+                  normalize=((MNIST_MEAN,), (MNIST_STD,)),
+                  default_kernel=4, default_stride=4, side=28),
+    "fashionmnist": dict(num_classes=10, channels=1,
+                         normalize=((MNIST_MEAN,), (MNIST_STD,)),
+                         default_kernel=4, default_stride=4, side=28),
+    "cifar10": dict(num_classes=10, channels=3,
+                    normalize=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+                    default_kernel=8, default_stride=8, side=32),
+    "cifar100": dict(num_classes=100, channels=3,
+                     normalize=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+                     default_kernel=8, default_stride=8, side=32),
+    "imagenet": dict(num_classes=100, channels=3,
+                     normalize=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+                     default_kernel=8, default_stride=8, side=64),
+}
+
 _IDX_NAMES = {
     "train_images": ["train-images-idx3-ubyte", "train-images.idx3-ubyte"],
     "train_labels": ["train-labels-idx1-ubyte", "train-labels.idx1-ubyte"],
@@ -77,15 +100,67 @@ def load_mnist_like(root: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.n
 
 def preprocess_images(x: np.ndarray, y: np.ndarray, kernel_size: int = 4,
                       kernel_stride: int = 4, num_classes: int = 10,
-                      mean: float = MNIST_MEAN, std: float = MNIST_STD):
+                      mean=MNIST_MEAN, std=MNIST_STD):
     """Reference preprocessing: normalize, unfold, bias patch, one-hot
-    (AAMNST.py:135-141)."""
-    x = (np.asarray(x, np.float32) / 255.0 - mean) / std
+    (AAMNST.py:135-141). mean/std may be scalars or per-channel tuples
+    (CIFAR: 3-channel (0.5, 0.5, 0.5) — train_image.py:27-28); x is
+    (N, H, W) or (N, C, H, W) in 0..255."""
+    x = np.asarray(x, np.float32) / 255.0
     if x.ndim == 3:
         x = x[:, None]
+    m = np.asarray(mean, np.float32).reshape(1, -1, 1, 1)
+    s = np.asarray(std, np.float32).reshape(1, -1, 1, 1)
+    x = (x - m) / s
     xp = image_to_conv_input(jnp.asarray(x), kernel_size, kernel_stride)
     onehot = np.eye(num_classes, dtype=np.float32)[np.asarray(y).astype(int)]
     return xp, jnp.asarray(onehot)
+
+
+def load_cifar(root: str, num_classes: int = 10
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(x_train, y_train, x_test, y_test) with x (N, 3, 32, 32) uint8.
+
+    Reads the standard on-disk formats: the pickled python batches
+    (cifar-10-batches-py/data_batch_1..5 + test_batch, or
+    cifar-100-python/train + test — the format torchvision consumes in the
+    reference, train_image.py:22-38) or a cifar{10,100}.npz with
+    x_train/y_train/x_test/y_test arrays."""
+    import pickle
+
+    npz = os.path.join(root, f"cifar{num_classes}.npz")
+    if os.path.exists(npz):
+        with np.load(npz) as d:
+            return d["x_train"], d["y_train"], d["x_test"], d["y_test"]
+
+    def read_batch(path, label_key):
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        data = d[b"data"] if b"data" in d else d["data"]
+        labels = d.get(label_key) if isinstance(d, dict) else None
+        if labels is None:
+            labels = d[label_key.decode()] if isinstance(d, dict) else None
+        return (np.asarray(data, np.uint8).reshape(-1, 3, 32, 32),
+                np.asarray(labels, np.int64))
+
+    if num_classes == 100:
+        base = os.path.join(root, "cifar-100-python")
+        if os.path.isdir(base):
+            xtr, ytr = read_batch(os.path.join(base, "train"), b"fine_labels")
+            xte, yte = read_batch(os.path.join(base, "test"), b"fine_labels")
+            return xtr, ytr, xte, yte
+    else:
+        base = os.path.join(root, "cifar-10-batches-py")
+        if os.path.isdir(base):
+            parts = [read_batch(os.path.join(base, f"data_batch_{i}"),
+                                b"labels") for i in range(1, 6)]
+            xtr = np.concatenate([p[0] for p in parts])
+            ytr = np.concatenate([p[1] for p in parts])
+            xte, yte = read_batch(os.path.join(base, "test_batch"), b"labels")
+            return xtr, ytr, xte, yte
+    raise FileNotFoundError(
+        f"no CIFAR-{num_classes} data under {root!r} (pickled python batches "
+        "or .npz); this environment has no network egress — stage data "
+        "locally or use the synthetic fallback")
 
 
 def load_digits_images(kernel_size: int = 2, kernel_stride: int = 2,
@@ -111,13 +186,17 @@ def load_digits_images(kernel_size: int = 2, kernel_stride: int = 2,
 
 def synthetic_image_classification(S: int = 8192, side: int = 28,
                                    num_classes: int = 10, kernel_size: int = 4,
-                                   kernel_stride: int = 4, seed: int = 0):
+                                   kernel_stride: int = 4, seed: int = 0,
+                                   channels: int = 1):
     """Shape-faithful synthetic stand-in with a learnable signal: class means
-    are random images plus noise, so accuracy above chance is achievable."""
+    are random images plus noise, so accuracy above chance is achievable.
+    channels=3 mirrors the CIFAR/ImageNet input shape."""
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_classes, S)
-    protos = rng.standard_normal((num_classes, side, side)).astype(np.float32)
-    x = protos[labels] + 1.5 * rng.standard_normal((S, side, side)).astype(np.float32)
-    xp = image_to_conv_input(jnp.asarray(x[:, None]), kernel_size, kernel_stride)
+    protos = rng.standard_normal(
+        (num_classes, channels, side, side)).astype(np.float32)
+    x = protos[labels] + 1.5 * rng.standard_normal(
+        (S, channels, side, side)).astype(np.float32)
+    xp = image_to_conv_input(jnp.asarray(x), kernel_size, kernel_stride)
     onehot = np.eye(num_classes, dtype=np.float32)[labels]
     return xp, jnp.asarray(onehot)

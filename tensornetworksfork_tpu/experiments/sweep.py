@@ -222,10 +222,35 @@ def _run_wandb(cfg: RunConfig, X, y, n_trials):  # pragma: no cover
 
 
 def main(argv=None):
+    """`--dataset digits` runs the GP-EI sweep on REAL data (sklearn's
+    bundled digits through the flat-64 protocol — pixels/16 +
+    quantile-uniform features, reproduce_result.run_digits_flat); any other
+    dataset name uses the synthetic degree-3 regression. TNF_SWEEP_TRIALS
+    sets the budget (default 10)."""
+    import os
+
     cfg = RunConfig.from_args(argv)
-    from ..data.synthetic import make_regression
-    X, y = make_regression(S=2048, d=6, degree=3, seed=cfg.seed)
-    best = run_sweep(cfg, X, y, n_trials=10, use_wandb=False)
+    n_trials = int(os.environ.get("TNF_SWEEP_TRIALS", "10"))
+    if cfg.dataset == "digits":
+        from sklearn.datasets import load_digits
+        from sklearn.preprocessing import QuantileTransformer
+
+        ds = load_digits()
+        X = np.asarray(ds.data, np.float32) / 16.0
+        qt = QuantileTransformer(output_distribution="uniform",
+                                 n_quantiles=min(1000, len(X)))
+        X = qt.fit_transform(X).astype(np.float32)
+        # one-hot targets + C-1 logits (the classification convention,
+        # train_tabular.py run())
+        y = np.eye(10, dtype=np.float32)[np.asarray(ds.target, int)]
+        cfg = cfg.merge({"task": "classification", "output_dim": 9})
+        best = run_sweep(cfg, X, y, n_trials=n_trials, use_wandb=False,
+                         results_file=cfg.results_file or None)
+    else:
+        from ..data.synthetic import make_regression
+        X, y = make_regression(S=2048, d=6, degree=3, seed=cfg.seed)
+        best = run_sweep(cfg, X, y, n_trials=n_trials, use_wandb=False,
+                         results_file=cfg.results_file or None)
     print("best:", best)
 
 

@@ -30,9 +30,31 @@ from ..utils.metrics import accuracy, append_results_csv
 from ..utils.timing import Timer
 
 
+PRESETS = {
+    # reference CIFAR_minres.py: CIFAR10, matrix-free MINRES sweep,
+    # bfloat16 default dtype (CIFAR_minres.py:12,112). The TPU analogue:
+    # METHOD=minres (on-device lax.while_loop MINRES) + bf16 Gram/aux
+    # operands, kernel 8/stride 8, batch 4096.
+    "cifar_minres": {"DATASET": "CIFAR10", "METHOD": "minres",
+                     "KERNEL_SIZE": "8", "KERNEL_STRIDE": "8",
+                     "BATCH_SIZE": "4096", "MAX_ITER": "50",
+                     "TNF_GRAM_DTYPE": "bf16", "TNF_AUX_PRECISION": "default"},
+}
+
+
 def get_config_from_env():
-    """Reference get_config_from_env (AAMNST.py:32-66)."""
+    """Reference get_config_from_env (AAMNST.py:32-66) + the dataset
+    registry's per-dataset kernel/stride defaults (train_image.py:12-49).
+    PRESET=cifar_minres applies the CIFAR_minres.py configuration."""
+    preset = os.environ.get("PRESET", "").lower()
+    if preset:
+        for k, v in PRESETS[preset].items():
+            os.environ.setdefault(k, v)
     e = os.environ.get
+    from ..data.images import DATASETS
+    ds_info = DATASETS.get(e("DATASET", "MNIST").lower(), {})
+    dk = str(ds_info.get("default_kernel", 4))
+    dstr = str(ds_info.get("default_stride", 4))
     return {
         "dataset": e("DATASET", "MNIST"),
         "data_path": e("DATA_PATH", "data/" + e("DATASET", "MNIST")),
@@ -41,8 +63,8 @@ def get_config_from_env():
         "r": int(e("R", "10")),
         "CB": int(e("CB", "4")),
         "seed": int(e("SEED", "42")),
-        "kernel_size": int(e("KERNEL_SIZE", "4")),
-        "kernel_stride": int(e("KERNEL_STRIDE", "4")),
+        "kernel_size": int(e("KERNEL_SIZE", dk)),
+        "kernel_stride": int(e("KERNEL_STRIDE", dstr)),
         "num_swipes": int(e("NUM_SWIPES", "5")),
         # matrix-free tier: cg | minres | lanczos run the reference's
         # CIFAR_minres.py / CIFAR_lanczos_swipe.py pattern on-device
@@ -73,12 +95,22 @@ def load_data(config):
         split_seed = int(os.environ.get("TEST_SPLIT_SEED", "42"))
         xtr, ytr, xte, yte = load_digits_images(k, k, seed=split_seed)
         return xtr, ytr, xte, yte, False
+    from ..data.images import DATASETS, load_cifar
+    name = config["dataset"].lower()
+    info = DATASETS.get(name, DATASETS["mnist"])
+    mean, std = info["normalize"]
     try:
-        xtr, ytr, xte, yte = load_mnist_like(config["data_path"])
-        xin_tr, y_tr = preprocess_images(xtr, ytr, config["kernel_size"],
-                                         config["kernel_stride"])
-        xin_te, y_te = preprocess_images(xte, yte, config["kernel_size"],
-                                         config["kernel_stride"])
+        if name.startswith("cifar"):
+            xtr, ytr, xte, yte = load_cifar(config["data_path"],
+                                            info["num_classes"])
+        else:
+            xtr, ytr, xte, yte = load_mnist_like(config["data_path"])
+        xin_tr, y_tr = preprocess_images(
+            xtr, ytr, config["kernel_size"], config["kernel_stride"],
+            num_classes=info["num_classes"], mean=mean, std=std)
+        xin_te, y_te = preprocess_images(
+            xte, yte, config["kernel_size"], config["kernel_stride"],
+            num_classes=info["num_classes"], mean=mean, std=std)
         synthetic = False
     except FileNotFoundError:
         if config["verbose"]:
@@ -87,8 +119,11 @@ def load_data(config):
         S = config["synthetic_samples"]
         n_test = max(S // 6, 512)
         x_all, y_all = synthetic_image_classification(
-            S + n_test, kernel_size=config["kernel_size"],
-            kernel_stride=config["kernel_stride"], seed=config["seed"])
+            S + n_test, side=info.get("side", 28),
+            num_classes=info["num_classes"],
+            kernel_size=config["kernel_size"],
+            kernel_stride=config["kernel_stride"], seed=config["seed"],
+            channels=info.get("channels", 1))
         xin_tr, y_tr = x_all[:S], y_all[:S]
         xin_te, y_te = x_all[S:], y_all[S:]
         synthetic = True

@@ -229,3 +229,30 @@ def test_update_jit_cache_keys_include_numeric_env(monkeypatch):
     monkeypatch.setenv("TNF_PACKED_J", "0")
     f3 = sw._jit_update(0, ni, "ridge_cholesky", False, False, 4)
     assert f3 is not f1
+
+
+def test_aux_precision_default_still_converges(monkeypatch):
+    """The benchmark numerics mode (TNF_AUX_PRECISION=default: env chains,
+    Jacobian builds, predictions and rhs dots run single-pass bf16-operand;
+    TNF_GRAM_DTYPE=bf16: Gram operands cast) must still fit a representable
+    target accurately — solves stay f32, so only operand rounding is lost."""
+    monkeypatch.setenv("TNF_AUX_PRECISION", "default")
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "bf16")
+    rng = np.random.default_rng(4)
+    S, f = 256, 4
+    X1 = rng.standard_normal((S, f - 1)).astype(np.float32)
+    X = np.concatenate([X1, np.ones((S, 1), np.float32)], axis=1)
+    W = rng.standard_normal((f, f)).astype(np.float32)
+    y = np.einsum("si,ij,sj->s", X, W, X).reshape(S, 1).astype(np.float32)
+
+    layer = TensorTrainLayer(2, f, f, output_shape=(1,), seed=5)
+    cfg = SweepConfig(num_swipes=8, method="ridge_cholesky", eps=1e-6,
+                      batch_size=64)
+    params, ok = accumulating_sweep(layer.network, layer.params,
+                                    jnp.asarray(X), jnp.asarray(y),
+                                    SquareBregFunction(), cfg)
+    assert ok
+    pred = np.asarray(layer.network.forward(
+        params, layer.network.bind_inputs(jnp.asarray(X))))
+    rel = float(np.sqrt(np.mean((pred - y) ** 2)) / np.std(y))
+    assert rel < 0.05, rel

