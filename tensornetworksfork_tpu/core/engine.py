@@ -103,10 +103,13 @@ class Network:
         return _PRECISIONS[name.lower()]
 
     # ------------------------------------------------------------- pallas tier
-    def _kernel_gram(self, kind: str, X: jax.Array, Y: jax.Array) -> jax.Array:
+    def _kernel_gram(self, kind: str, X: jax.Array, Y: jax.Array,
+                     row_group: int = 1) -> jax.Array:
         """Dispatch a Pallas Gram kernel: A = Xᵀ diag(Y) X ('weighted') or
         Xᵀ Y ('pair', symmetric). X is (rows, D) with rows the flattened
-        (sample, class) axis.
+        (sample, class) axis; row_group is the class-block size C — under a
+        mesh, shards must hold whole samples for the symmetric mirror to be
+        exact.
 
         With an active 1-D data mesh (self.mesh), the call is wrapped in
         shard_map over the row axis: each device runs the kernel on its local
@@ -124,23 +127,43 @@ class Network:
 
         if self.mesh is None:
             return call(X, Y)
+        axis = self.mesh_axis
+        ndev = dict(self.mesh.shape)[axis]
+        if X.shape[0] % (ndev * row_group) != 0:
+            # shard_map needs the row axis to divide evenly; rows from the
+            # sweep's chunked path always do (_prepare pads B to a device
+            # multiple), but other callers (e.g. raw baked-data rows) may
+            # not — fall back to the equivalent XLA dot, which GSPMD
+            # partitions exactly.
+            prec = (jax.lax.Precision.DEFAULT if X.dtype == jnp.bfloat16
+                    else self.precision)
+            Yop = (X * Y[:, None].astype(X.dtype)) if kind == "weighted" else Y
+            return jax.lax.dot_general(X, Yop, (((0,), (0,)), ((), ())),
+                                       precision=prec,
+                                       preferred_element_type=jnp.float32)
         from jax.sharding import PartitionSpec as P
         try:
             from jax import shard_map
-        except ImportError:  # older jax
+            kw = {"check_vma": False}
+        except ImportError:  # older jax: same flag under its old name
             from jax.experimental.shard_map import shard_map
-        axis = self.mesh_axis
+            kw = {"check_rep": False}
 
         def sharded(x, y):
             return jax.lax.psum(call(x, y), axis)
 
         yspec = P(axis, None) if Y.ndim == 2 else P(axis)
-        # check_vma=False: pallas_call's out ShapeDtypeStruct carries no vma
-        # metadata, which the checker (jax>=0.9) would reject; the psum makes
-        # the output mesh-invariant by construction.
+        # check_vma/check_rep=False: pallas_call's out ShapeDtypeStruct
+        # carries no vma metadata, which the checker (jax>=0.9) would
+        # reject; the psum makes the output mesh-invariant by construction.
+        # Correctness note for gram_pair(symmetric=True) under sharding: a
+        # shard's partial Gram is only symmetric if it holds WHOLE samples
+        # (all C class rows of each s). Rows are s-major and the sweep pads
+        # the per-chunk sample count to a device multiple, so each shard
+        # gets (B/ndev)*C whole-sample rows.
         return shard_map(sharded, mesh=self.mesh,
                          in_specs=(P(axis, None), yspec),
-                         out_specs=P(), check_vma=False)(X, Y)
+                         out_specs=P(), **kw)(X, Y)
 
     # ------------------------------------------------------------------ inputs
     def bind_inputs(self, x) -> Dict[str, jax.Array]:
@@ -207,10 +230,18 @@ class Network:
         keep = self.env_keep(cols_so_far)
         return (keep, contract(ops, keep, self.aux_precision))
 
-    def env_chain(self, params, inputs, direction: str = "left") -> List[Optional[Operand]]:
-        """envs[c] = contraction of columns 0..c (left) or c..end (right)."""
+    def env_chain(self, params, inputs, direction: str = "left",
+                  skip_last: bool = False) -> List[Optional[Operand]]:
+        """envs[c] = contraction of columns 0..c (left) or c..end (right).
+
+        skip_last drops the terminal cumulative step (the full-network env),
+        which no sweep consumer reads — a far chain only feeds the OTHER
+        side of each node."""
         ncols = len(self.topology.columns)
-        order = range(ncols) if direction == "left" else range(ncols - 1, -1, -1)
+        order = list(range(ncols) if direction == "left"
+                     else range(ncols - 1, -1, -1))
+        if skip_last:
+            order = order[:-1]
         envs: List[Optional[Operand]] = [None] * ncols
         prev = None
         seen: List[int] = []
@@ -463,7 +494,8 @@ class Network:
                     H2, J3.reshape(S_sz, C_sz, D),
                     (((1,), (1,)), ((0,), (0,))),
                     precision=dot_prec).reshape(S_sz, C_sz, D0, D1)
-                A = self._kernel_gram("pair", Jf, K3.reshape(rows, D))
+                A = self._kernel_gram("pair", Jf, K3.reshape(rows, D),
+                                      row_group=C_sz)
             return A.astype(J2.dtype), b.reshape(D)
         if diag:
             h2 = hess.reshape(S_sz, -1)
@@ -631,7 +663,7 @@ class Network:
                     K2 = K3.reshape(S * C, D)
                     if gd is not None:
                         K2 = K2.astype(gd)
-                    A = self._kernel_gram("pair", J2, K2)
+                    A = self._kernel_gram("pair", J2, K2, row_group=C)
             else:
                 A = _flat_gram(J3, W, diag, self.precision)
             return A.reshape(node_shape + node_shape), b

@@ -84,7 +84,8 @@ def _numeric_env_key():
             os.environ.get("TNF_FLAT_GRAM_MAX_D", "8192"),
             os.environ.get("TNF_PACKED_SYRK_MIN_D", "4096"),
             os.environ.get("TNF_AUX_PRECISION", ""),
-            os.environ.get("TNF_OWNOUT_K_MAX_ELEMS", ""))
+            os.environ.get("TNF_OWNOUT_K_MAX_ELEMS", ""),
+            os.environ.get("TNF_FLAT_GRAM_MAX_UNROLL", ""))
 
 
 class Member:
@@ -118,14 +119,28 @@ class Sweeper:
         # not headline numbers. benchmarks/epoch_bench.py reports the table.
         self.timers: Dict[str, List[float]] = {}
         self._timing = os.environ.get("TNF_SWEEP_TIMERS", "0") == "1"
+        # Two-sided stack reuse (reference left/right_update_stacks made
+        # incremental, network.py:152-172): every computed environment —
+        # near-side advances AND far-chain entries — is recorded per
+        # (member, side, column) together with the ids of the param arrays
+        # it contracted. A later run needing a far chain first checks the
+        # history: a full set of entries whose recorded param ids still
+        # match the live params is a valid chain and skips the O(ncols)
+        # recompute. In the canonical [cores l2r, convs l2r] x2 epoch this
+        # eliminates 2 of the 4 far chains per epoch (the l2r runs' left
+        # histories feed the r2l runs, and the final r2l near history feeds
+        # the next epoch's first l2r run).
+        self._near_hist: Dict = {}
+        self._data_cache = None  # (src_tuple, data) — input-identity cache
 
     def _timed(self, phase: str, fn, *args):
         if not self._timing:
             return fn(*args)
         t0 = time.perf_counter()
         out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf.reshape(-1)[:1])
+        leaves = jax.tree_util.tree_leaves(out)
+        if leaves:  # a 1-column far chain is all-None (terminal skipped)
+            np.asarray(leaves[0].reshape(-1)[:1])
         dt = time.perf_counter() - t0
         acc = self.timers.setdefault(phase, [0.0, 0])
         acc[0] += dt
@@ -196,6 +211,29 @@ class Sweeper:
                 data["inputs"] = [shard_chunked(d, mesh) for d in data["inputs"]]
         return data
 
+    def _prepare_cached(self, x, y, sample_weight, mesh, model_labels):
+        """_prepare memoized on INPUT IDENTITY (the reference's set_input
+        semantics — stacks invalidate only when the tensor identity changes,
+        network.py:329-345): repeated run() calls on the same arrays skip
+        re-chunking/re-sharding and keep the environment-history tokens
+        valid across epochs. Mutating a passed numpy array in place between
+        runs defeats the check — pass a new array instead (same contract as
+        the reference)."""
+        mesh_key = (None if mesh is None else
+                    (tuple(sorted(dict(mesh.shape).items())),
+                     tuple(d.id for d in mesh.devices.flat)))
+        if self._data_cache is not None:
+            (ox, oy, ow, omk, oml, ob), data = self._data_cache
+            if (ox is x and oy is y and ow is sample_weight
+                    and omk == mesh_key and oml == model_labels
+                    and ob == self.cfg.batch_size):
+                return data
+        data = self._prepare(x, y, sample_weight, mesh,
+                             model_labels=model_labels)
+        self._data_cache = ((x, y, sample_weight, mesh_key, model_labels,
+                             self.cfg.batch_size), data)
+        return data
+
     # ------------------------------------------------------------- jit: envs
     # All env arrays are chunked (nchunks, B, ...): the per-batch env
     # computation runs under lax.scan over the chunk axis. scan (not vmap!)
@@ -207,8 +245,11 @@ class Sweeper:
             net = self.members[mid].net
 
             def one(params, inputs):
-                envs = net.env_chain(params, inputs, direction)
-                return tuple(e[1] for e in envs)
+                # terminal entry (full-network env) skipped: no consumer
+                # reads it (engine.env_chain docstring)
+                envs = net.env_chain(params, inputs, direction,
+                                     skip_last=True)
+                return tuple(None if e is None else e[1] for e in envs)
 
             def fn(params, inputs):
                 def body(_, x_c):
@@ -603,8 +644,8 @@ class Sweeper:
                           max_workers, node_order, model_axis_labels):
         from concurrent.futures import ThreadPoolExecutor
 
-        data = self._prepare(x, y, sample_weight, mesh,
-                             model_labels=model_axis_labels)
+        data = self._prepare_cached(x, y, sample_weight, mesh,
+                                    model_axis_labels)
         B = data["B"]
         nc = data["P"] // B
         use_rest = len(self.members) > 1
@@ -692,8 +733,9 @@ class Sweeper:
                 out = fn(*args)
             # force a real device->host transfer: block_until_ready does not
             # reliably block on remote-tunnel platforms (CLAUDE.md)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            np.asarray(leaf.reshape(-1)[:1])
+            leaves = jax.tree_util.tree_leaves(out)
+            if leaves:  # a 1-column far chain is all-None (terminal skipped)
+                np.asarray(leaves[0].reshape(-1)[:1])
             return None
 
         pool = ThreadPoolExecutor(max_workers=max_workers)
@@ -730,8 +772,8 @@ class Sweeper:
             # current params through sweeper.params_list (the reference reads
             # the mutable node graph, models/tensor_train.py:258-262)
             self.params_list = params_list
-            data = self._prepare(x, y, sample_weight, mesh,
-                                 model_labels=tuple(model_axis_labels))
+            data = self._prepare_cached(x, y, sample_weight, mesh,
+                                        tuple(model_axis_labels))
             if mesh is not None:
                 from ..parallel.mesh import replicate
                 for mi in range(len(params_list)):
@@ -794,10 +836,13 @@ class Sweeper:
                      and dict(mesh.shape).get("model", 1) == 1)
         saved = [(m.net.use_pallas, m.net.mesh) for m in self.members]
         for m in self.members:
-            if data_only:
+            if data_only and m.net.topology.input_nodes:
                 m.net.mesh = mesh
             else:
-                m.net.use_pallas = False
+                # input-less members keep mesh=None: their baked-in row
+                # count is not padded to a device multiple and their consts
+                # are replicated anyway — the XLA paths partition fine
+                m.net.use_pallas = m.net.use_pallas and data_only
                 m.net.mesh = None
         return saved
 
@@ -877,20 +922,66 @@ class Sweeper:
         near_col: Dict[int, int] = {}
         cur_dir: Dict[int, str] = {}
         active_run: Dict[int, int] = {}
+        # entry validity stamp: same prepared data AND same aux-precision
+        # mode (env values depend on the contraction precision)
+        data_token = (id(data), os.environ.get("TNF_AUX_PRECISION", ""))
+
+        def env_ids(mi, c, side):
+            """Identity stamp of every param array an env of `side` at
+            column c contracted — if these ids still match the live params,
+            the recorded env is a valid snapshot (jax arrays are
+            immutable)."""
+            t = self.members[mi].net.topology
+            ncols = len(t.columns)
+            cols = range(0, c + 1) if side == "left" else range(c, ncols)
+            from .topology import PARAM
+            return tuple(
+                id(params_list[mi][t.nodes[n].name])
+                for cc in cols for n in t.columns[cc]
+                if t.nodes[n].kind == PARAM)
+
+        def record_env(mi, c, side, env):
+            self._near_hist.setdefault((mi, side), {})[c] = (
+                env, env_ids(mi, c, side), data_token)
+
+        def reuse_chain(mi, far_dir, ncols):
+            """Far chain from recorded history, or None if any needed entry
+            is missing/stale. Needed entries: every column except the
+            terminal one (which no node reads)."""
+            hist = self._near_hist.get((mi, far_dir))
+            if not hist:
+                return None
+            needed = (range(1, ncols) if far_dir == "right"
+                      else range(0, ncols - 1))
+            chain = [None] * ncols
+            for c in needed:
+                ent = hist.get(c)
+                if (ent is None or ent[2] != data_token
+                        or ent[1] != env_ids(mi, c, far_dir)):
+                    return None
+                chain[c] = ent[0]
+            return chain
 
         def ensure_run(i, mi):
             rid = run_of[i]
             if active_run.get(mi) == rid:
                 return
             net = self.members[mi].net
+            ncols = len(net.topology.columns)
             d = "l2r" if run_trend[rid] >= 0 else "r2l"
             cur_dir[mi] = d
             far_dir = "right" if d == "l2r" else "left"
-            far_envs[mi] = list(self._timed(
-                "far_envs", self._jit_far_envs(mi, far_dir),
-                params_list[mi], data["inputs"][mi]))
+            chain = reuse_chain(mi, far_dir, ncols)
+            if chain is None:
+                chain = list(self._timed(
+                    "far_envs", self._jit_far_envs(mi, far_dir),
+                    params_list[mi], data["inputs"][mi]))
+                for c, env in enumerate(chain):
+                    if env is not None:
+                        record_env(mi, c, far_dir, env)
+            far_envs[mi] = chain
             near_env[mi] = None
-            near_col[mi] = -1 if d == "l2r" else len(net.topology.columns)
+            near_col[mi] = -1 if d == "l2r" else ncols
             active_run[mi] = rid
 
         def advance_near(mi, upto_col):
@@ -906,6 +997,7 @@ class Sweeper:
                     "advance", fn, params_list[mi], near_env[mi],
                     data["inputs"][mi])
                 near_col[mi] = c
+                record_env(mi, c, side, near_env[mi])
 
         rest_cache: Dict[int, jax.Array] = {}
 

@@ -143,7 +143,7 @@ def cv_score(cfg: RunConfig, overrides: Dict, X, y, folds: int = 5) -> Dict:
             eps_start=c.eps, eps_decay=c.eps_decay, batch_size=c.batch_size,
             method=c.method, num_swipes=c.num_swipes, model_type=c.model_type,
             task=c.task, cum_sum=c.cum_sum, early_stopping=c.early_stopping,
-            verbose=0)
+            verbose=0, timeout=c.timeout)
         try:
             est.fit(X[tr_idx], y[tr_idx], X_val=X[val_idx], y_val=y[val_idx])
             pred = est.predict(X[val_idx])
@@ -231,6 +231,12 @@ def main(argv=None):
 
     cfg = RunConfig.from_args(argv)
     n_trials = int(os.environ.get("TNF_SWEEP_TRIALS", "10"))
+    if cfg.timeout is None:
+        # per-fold wall-clock bound: the search space's corners (N=16,
+        # r=24, 50 swipes) are minutes/fold — the reference bounds trials
+        # with the cluster's 4 h job limit (Sweeps/submit_*.sh); locally a
+        # per-fit timeout keeps the trial budget meaningful
+        cfg.timeout = float(os.environ.get("TNF_SWEEP_TRIAL_TIMEOUT", "60"))
     if cfg.dataset == "digits":
         from sklearn.datasets import load_digits
         from sklearn.preprocessing import QuantileTransformer

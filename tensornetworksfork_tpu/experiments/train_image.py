@@ -48,6 +48,9 @@ def get_config_from_env():
     PRESET=cifar_minres applies the CIFAR_minres.py configuration."""
     preset = os.environ.get("PRESET", "").lower()
     if preset:
+        if preset not in PRESETS:
+            raise ValueError(f"unknown PRESET {preset!r}; valid: "
+                             f"{sorted(PRESETS)}")
         for k, v in PRESETS[preset].items():
             os.environ.setdefault(k, v)
     e = os.environ.get

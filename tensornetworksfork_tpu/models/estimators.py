@@ -124,7 +124,8 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
                  abs_err=1e-4, rel_err=1e-3, batch_size=512,
                  method="ridge_cholesky", num_swipes=30, model_type="tt",
                  task="regression", train_operator=False, cum_sum=False,
-                 early_stopping=0, dtype=jnp.float32, verbose=0):
+                 early_stopping=0, dtype=jnp.float32, verbose=0,
+                 timeout=None):
         self.N = N
         self.r = r
         self.output_dim = output_dim
@@ -148,6 +149,9 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
         self.early_stopping = early_stopping
         self.dtype = dtype
         self.verbose = verbose
+        # wall-clock abort in seconds, passed to the sweep (the reference
+        # forwards --tt_timeout the same way, train_tabular.py:119,263)
+        self.timeout = timeout
         self._model = None
         self.input_dim = None
         if self.perturb and self.output_dim > 1:
@@ -244,7 +248,7 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
         cfg = SweepConfig(
             num_swipes=self.num_swipes, batch_size=self.batch_size,
             method=self.method, eps=self.eps, eps_decay=self.eps_decay,
-            lr=self.lr, verbose=self.verbose)
+            lr=self.lr, verbose=self.verbose, timeout=self.timeout)
         is_sum = isinstance(self._model, SumLayer)
         if is_sum:
             # train_operator mirrors SumOfNetworks(train_operators=...),

@@ -188,3 +188,39 @@ def test_tp_mesh_still_disables_pallas():
         [layer.params], x, y, mesh=mesh2, model_axis_labels=("patches",))
     assert ok
     assert net.use_pallas and net.mesh is None  # restored
+
+
+def test_inputless_member_mesh_with_pallas_no_crash():
+    """Regression (round-3 review): an input-less (baked-data) network under
+    a data mesh with Pallas enabled must not shard_map over its raw row
+    count (60 rows, 8 devices) — the member keeps mesh=None and the XLA
+    paths partition; result equals the single-device run."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import CompressedTensorTrainLayer
+    from tensornetworksfork_tpu.ops.compression import (DataCompression,
+                                                        train_compress)
+
+    rng = np.random.default_rng(3)
+    S, f = 60, 4  # 60 rows: NOT a multiple of 8 devices
+    Xd = np.concatenate([rng.standard_normal((S, f - 1)).astype(np.float32),
+                         np.ones((S, 1), np.float32)], axis=1)
+    y = (Xd[:, 0] * Xd[:, 1]).reshape(S, 1).astype(np.float32)
+    blocks, _ = train_compress(list(DataCompression(Xd).non_compressed(2)),
+                               rank=16)
+
+    def fit(mesh):
+        layer = CompressedTensorTrainLayer(blocks, bond_dim=4,
+                                           output_shape=(1,), seed=0)
+        net = Network(layer.topology, use_pallas=True)
+        sw = Sweeper(net, SquareBregFunction(),
+                     SweepConfig(num_swipes=4, eps=1e-3))
+        out, ok = sw.run([dict(layer.params)], {}, jnp.asarray(y), mesh=mesh)
+        assert ok
+        return np.asarray(net.forward(out[0], {}))
+
+    pred_single = fit(None)
+    pred_mesh = fit(make_mesh(8))
+    # the local Gram systems are ill-conditioned, so params can wander;
+    # the fitted function must agree
+    np.testing.assert_allclose(pred_mesh, pred_single, rtol=5e-3, atol=5e-3)
+    assert float(np.sqrt(np.mean((pred_single - y) ** 2))) < 0.1

@@ -153,3 +153,53 @@ def test_packed_sweep_matches_standard(monkeypatch):
     for k in p_std:
         np.testing.assert_allclose(np.asarray(p_pk[k]),
                                    np.asarray(p_std[k]), rtol=2e-4, atol=2e-4)
+
+
+def test_env_history_reuse_matches_fresh_sweeper(monkeypatch):
+    """Two-sided stack reuse: a run's near-env history serves as the next
+    opposite-direction run's far chain (validated by param-array identity).
+    A multi-epoch run on ONE Sweeper (reuse engaged) must match running each
+    epoch on a FRESH Sweeper (every chain recomputed), and must actually
+    skip far-chain computations."""
+    import numpy as np
+    from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    monkeypatch.setenv("TNF_SWEEP_TIMERS", "1")
+    rng = np.random.default_rng(0)
+    S, P, pp, C = 48, 5, 4, 3
+    x = jnp.asarray(rng.standard_normal((S, P, pp)), jnp.float32)
+    y = jnp.asarray(np.eye(C + 1, dtype=np.float32)[rng.integers(0, C + 1, S)])
+    cfg = SweepConfig(num_swipes=1, batch_size=16, method="ridge_cholesky",
+                      eps=1.0)
+
+    def build():
+        return TensorConvolutionTrainLayer(
+            num_carriages=3, bond_dim=3, num_patches=P, patch_pixels=pp,
+            output_shape=(C,), convolution_bond=2, seed=5)
+
+    n_epochs = 3
+    # one sweeper across epochs: history + data cache reused
+    l1 = build()
+    sw = Sweeper(l1.network, XEBregman(w=1.0), cfg)
+    p_reuse = [dict(l1.params)]
+    for _ in range(n_epochs):
+        p_reuse, ok = sw.run(p_reuse, x, y)
+        assert ok
+    chains_reused = sw.timers["far_envs"][1]
+
+    # fresh sweeper per epoch: no history survives
+    l2 = build()
+    p_fresh = [dict(l2.params)]
+    chains_fresh = 0
+    for _ in range(n_epochs):
+        sw2 = Sweeper(l2.network, XEBregman(w=1.0), cfg)
+        p_fresh, ok = sw2.run(p_fresh, x, y)
+        assert ok
+        chains_fresh += sw2.timers["far_envs"][1]
+
+    assert chains_reused < chains_fresh, (chains_reused, chains_fresh)
+    for k in p_reuse[0]:
+        np.testing.assert_allclose(np.asarray(p_reuse[0][k]),
+                                   np.asarray(p_fresh[0][k]),
+                                   rtol=5e-3, atol=5e-3)
