@@ -47,7 +47,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=2, seed=0,
+def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=3, seed=0,
                       method="ridge_cholesky"):
     import jax
     import jax.numpy as jnp

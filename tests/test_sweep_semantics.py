@@ -203,3 +203,43 @@ def test_env_history_reuse_matches_fresh_sweeper(monkeypatch):
         np.testing.assert_allclose(np.asarray(p_reuse[0][k]),
                                    np.asarray(p_fresh[0][k]),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_env_history_reuse_with_gauges(monkeypatch):
+    """orthonormalize=True swaps the updated node's NEIGHBOR mid-run — the
+    id-validated history must treat those entries as stale. Multi-epoch
+    reuse run == fresh-sweeper-per-epoch run, with gauges on."""
+    import numpy as np
+    monkeypatch.setenv("TNF_SWEEP_TIMERS", "1")
+    rng = np.random.default_rng(1)
+    S, f = 64, 4
+    X = jnp.asarray(np.concatenate(
+        [rng.standard_normal((S, f - 1)).astype(np.float32),
+         np.ones((S, 1), np.float32)], axis=1))
+    y = jnp.asarray((np.asarray(X[:, 0]) * np.asarray(X[:, 1])
+                     ).reshape(-1, 1).astype(np.float32))
+    cfg = SweepConfig(num_swipes=1, batch_size=32, eps=1e-4,
+                      orthonormalize=True)
+
+    def build():
+        return TensorTrainLayer(3, 4, f, output_shape=(1,), seed=2)
+
+    l1 = build()
+    sw = Sweeper(l1.network, SquareBregFunction(), cfg)
+    p_reuse = [dict(l1.params)]
+    for _ in range(3):
+        p_reuse, ok = sw.run(p_reuse, X, y)
+        assert ok
+
+    l2 = build()
+    p_fresh = [dict(l2.params)]
+    for _ in range(3):
+        sw2 = Sweeper(l2.network, SquareBregFunction(), cfg)
+        p_fresh, ok = sw2.run(p_fresh, X, y)
+        assert ok
+
+    pred_a = np.asarray(l1.network.forward(p_reuse[0],
+                                           l1.network.bind_inputs(X)))
+    pred_b = np.asarray(l2.network.forward(p_fresh[0],
+                                           l2.network.bind_inputs(X)))
+    np.testing.assert_allclose(pred_a, pred_b, rtol=5e-3, atol=5e-3)
