@@ -93,12 +93,7 @@ def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=3, seed=0,
     return min(times), flops
 
 
-CONFIGS = {
-    # reference headline MNIST config at full data scale (54k train split)
-    "full": dict(N=4, r=18, CB=8, P=50, pp=17, C=9, S=53248, batch=2048),
-    "quick": dict(N=3, r=8, CB=4, P=50, pp=17, C=9, S=8192, batch=2048),
-    "smoke": dict(N=2, r=4, CB=2, P=50, pp=17, C=9, S=2048, batch=512),
-}
+from benchmarks.common import CONFIGS  # noqa: E402 — shared with epoch_bench
 
 
 def main():

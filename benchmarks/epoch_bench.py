@@ -16,26 +16,17 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ["TNF_SWEEP_TIMERS"] = "1"
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+from common import setup
 
+setup()
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-CONFIGS = {
-    "full": dict(N=4, r=18, CB=8, P=50, pp=17, C=9, S=53248, batch=2048),
-    "quick": dict(N=3, r=8, CB=4, P=50, pp=17, C=9, S=8192, batch=2048),
-}
+from common import CONFIGS  # noqa: E402 — single source of config truth
 
 
 def main():

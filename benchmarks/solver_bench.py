@@ -19,16 +19,13 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import setup
 
+setup()
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
 from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer

@@ -433,7 +433,6 @@ class Network:
 
     def packed_predict(self, pj, core: jax.Array) -> jax.Array:
         J2 = pj["arr"]
-        n_out = pj["n_out"]
         core2 = core.reshape(pj["a0_sz"], pj["r_sz"]).astype(J2.dtype)
         nd = J2.ndim
         pred = jax.lax.dot_general(

@@ -128,7 +128,23 @@ class BayesSearch:
 
 def cv_score(cfg: RunConfig, overrides: Dict, X, y, folds: int = 5) -> Dict:
     """5-fold CV returning r2_low = mean - SEM (reference wandb_sweep.py
-    metric) or accuracy_low for classification."""
+    metric) or accuracy_low for classification.
+
+    Resource guard: configs whose middle-core Gram would exceed
+    TNF_SWEEP_MAX_A_BYTES (default 1 GB) are recorded as infeasible
+    (singular), like the reference's cluster runs that die on the search
+    space's corners — a wedged 10-minute remote compile would otherwise
+    burn the whole trial budget."""
+    import os
+
+    f = int(X.shape[1]) + 1  # bias column added by the estimator
+    r = int(overrides.get("r", cfg.r))
+    mt = str(overrides.get("model_type", cfg.model_type))
+    # middle-core size: TT cores are (r, f, r); CPD factors only (r, f)
+    D = r * f if "cpd" in mt else r * f * r
+    max_bytes = int(os.environ.get("TNF_SWEEP_MAX_A_BYTES", str(1 << 30)))
+    if D * D * 4 > max_bytes:
+        return {"score_low": -1e9, "singular": True, "infeasible": True}
     n = X.shape[0]
     idx = np.random.RandomState(cfg.seed).permutation(n)
     scores = []
