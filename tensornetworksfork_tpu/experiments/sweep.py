@@ -140,10 +140,16 @@ def cv_score(cfg: RunConfig, overrides: Dict, X, y, folds: int = 5) -> Dict:
     f = int(X.shape[1]) + 1  # bias column added by the estimator
     r = int(overrides.get("r", cfg.r))
     mt = str(overrides.get("model_type", cfg.model_type))
+    N = int(overrides.get("N", cfg.N))
     # middle-core size: TT cores are (r, f, r); CPD factors only (r, f)
     D = r * f if "cpd" in mt else r * f * r
     max_bytes = int(os.environ.get("TNF_SWEEP_MAX_A_BYTES", str(1 << 30)))
-    if D * D * 4 > max_bytes:
+    # compile-count cap: a type-I sum of degree 1..N has N(N+1)/2 cores and
+    # each core is a separately compiled program on this stack — beyond
+    # ~TNF_SWEEP_MAX_NODES the trial is compile-bound, not model-bound
+    n_nodes = N * (N + 1) // 2 if "type1" in mt else N
+    max_nodes = int(os.environ.get("TNF_SWEEP_MAX_NODES", "36"))
+    if D * D * 4 > max_bytes or n_nodes > max_nodes:
         return {"score_low": -1e9, "singular": True, "infeasible": True}
     n = X.shape[0]
     idx = np.random.RandomState(cfg.seed).permutation(n)

@@ -294,7 +294,12 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
         # many-core model's ~2N programs dominates wall-clock (30-60 s each);
         # the thread-pooled warm-up cuts it ~4x. TNF_FIT_PRECOMPILE=0
         # disables. The jit cache is shared, so nothing compiles twice.
-        if os.environ.get("TNF_FIT_PRECOMPILE", "1") == "1":
+        # skipped for short-timeout fits: the warm-up itself is not covered
+        # by the sweep's wall-clock abort, so a tightly budgeted fit (e.g. a
+        # sweep trial) must go through run()'s lazily compiled path, where
+        # the timeout check between node updates bounds compile time too
+        if (os.environ.get("TNF_FIT_PRECOMPILE", "1") == "1"
+                and (self.timeout is None or self.timeout >= 300)):
             try:
                 sweeper.precompile(init_params, X, y)
             except Exception as e:  # never let warm-up kill a fit
