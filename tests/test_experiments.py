@@ -322,3 +322,30 @@ def test_train_image_cifar_minres_preset(monkeypatch, tmp_path):
     assert results["dataset"] == "CIFAR10-synthetic"
     assert results["method"] == "minres"
     assert results["test_accuracy"] > 15.0, results
+
+
+def test_sweep_resource_guard(monkeypatch):
+    """Search-space corners are recorded as infeasible instead of wedging
+    the trial budget: huge TT Grams (r*f*r squared exceeds the byte cap) and
+    compile-bound type-I sums (N(N+1)/2 cores over the node cap). CPD
+    factors (r*f) stay feasible at large r."""
+    import numpy as np
+    from tensornetworksfork_tpu.experiments.sweep import cv_score
+    from tensornetworksfork_tpu.utils.config import RunConfig
+
+    X = np.zeros((32, 64), np.float32)
+    y = np.zeros((32, 1), np.float32)
+    cfg = RunConfig(task="regression", verbose=0)
+    big_tt = {"N": 3, "r": 24, "model_type": "tt", "eps": 1.0,
+              "num_swipes": 1, "cum_sum": False}
+    res = cv_score(cfg, big_tt, X, y)
+    assert res.get("infeasible"), res
+    big_sum = {"N": 16, "r": 2, "model_type": "tt_type1", "eps": 1.0,
+               "num_swipes": 1, "cum_sum": False}
+    res = cv_score(cfg, big_sum, X, y)
+    assert res.get("infeasible"), res
+    # CPD at r=24 is a small factor matrix — must NOT be pre-rejected
+    cpd = {"N": 2, "r": 24, "model_type": "cpd", "eps": 1.0,
+           "num_swipes": 1, "cum_sum": False}
+    res = cv_score(cfg, cpd, X, y)
+    assert not res.get("infeasible"), res
