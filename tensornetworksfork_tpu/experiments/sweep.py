@@ -149,7 +149,13 @@ def cv_score(cfg: RunConfig, overrides: Dict, X, y, folds: int = 5) -> Dict:
     # ~TNF_SWEEP_MAX_NODES the trial is compile-bound, not model-bound
     n_nodes = N * (N + 1) // 2 if "type1" in mt else N
     max_nodes = int(os.environ.get("TNF_SWEEP_MAX_NODES", "36"))
-    if D * D * 4 > max_bytes or n_nodes > max_nodes:
+    # cum_sum materialises an (f,f,f,f) MPO constant per core — at high
+    # feature counts the constants alone reach GBs (65-feature digits:
+    # 71 MB x n_nodes); bound their total
+    cum_bytes = (n_nodes * f ** 4 * 4
+                 if overrides.get("cum_sum", cfg.cum_sum) else 0)
+    if (D * D * 4 > max_bytes or n_nodes > max_nodes
+            or cum_bytes > max_bytes):
         return {"score_low": -1e9, "singular": True, "infeasible": True}
     n = X.shape[0]
     idx = np.random.RandomState(cfg.seed).permutation(n)

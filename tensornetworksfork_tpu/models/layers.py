@@ -244,13 +244,17 @@ class TensorTrainLinearLayer(TNLayer):
 # ---------------------------------------------------------------------------
 
 def cum_sum_operator(n: int, num_carriages: int, f: int) -> np.ndarray:
+    """op[i,k,l,m] = H[i,k] δ(k=l) δ(m = k or 0) with H upper-triangular
+    ones — built directly in O(f²) (the equivalent dense einsum over the
+    (f,f,f,f) propagator is O(f⁵) and took minutes at f=65)."""
     left_dim = 1 if n == 0 else f
     right_dim = 1 if n == num_carriages - 1 else f
     H = np.triu(np.ones((left_dim, f)))
-    D = np.zeros((f, f, f, right_dim))
-    for i in range(f):
-        D[i, i, i, 0 if n == num_carriages - 1 else i] = 1
-    return np.einsum("ij,jklm->iklm", H, D)
+    op = np.zeros((left_dim, f, f, right_dim))
+    last = n == num_carriages - 1
+    for k in range(f):
+        op[:, k, k, 0 if last else k] = H[:, k]
+    return op
 
 
 class CumSumLayer(TNLayer):
