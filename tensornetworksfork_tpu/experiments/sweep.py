@@ -12,6 +12,8 @@ once per worker.
 from __future__ import annotations
 
 import math
+import os
+import sys
 from typing import Dict, Optional
 
 import numpy as np
@@ -135,8 +137,6 @@ def cv_score(cfg: RunConfig, overrides: Dict, X, y, folds: int = 5) -> Dict:
     (singular), like the reference's cluster runs that die on the search
     space's corners — a wedged 10-minute remote compile would otherwise
     burn the whole trial budget."""
-    import os
-
     f = int(X.shape[1]) + 1  # bias column added by the estimator
     r = int(overrides.get("r", cfg.r))
     mt = str(overrides.get("model_type", cfg.model_type))
@@ -204,12 +204,41 @@ def run_sweep(cfg: RunConfig, X, y, n_trials: int = 20,
         return
     except ImportError:
         pass
+    import signal
+    import threading
+
     rng = np.random.default_rng(cfg.seed)
     searcher = BayesSearch(seed=cfg.seed) if search == "bayes" else None
     best = None
+    # Per-trial wall-clock watchdog (SIGALRM, like bench.py's): the remote
+    # TPU compile service intermittently wedges (CLAUDE.md) and a blocked
+    # device call ignores the sweep's own between-updates timeout. A wedged
+    # trial is recorded and skipped; two consecutive wedges mean the device
+    # is gone — stop and keep the CSV.
+    wall = float(os.environ.get("TNF_SWEEP_TRIAL_WALL", "900"))
+
+    class _TrialWall(Exception):
+        pass
+
+    use_alarm = (hasattr(signal, "SIGALRM")
+                 and threading.current_thread() is threading.main_thread())
+    if use_alarm:
+        signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(
+            _TrialWall()))
+    wedged_streak = 0
     for t in range(n_trials):
         overrides = searcher.ask() if searcher else sample_config(rng)
-        res = cv_score(cfg, overrides, X, y)
+        try:
+            if use_alarm:
+                signal.alarm(int(wall))
+            res = cv_score(cfg, overrides, X, y)
+            wedged_streak = 0
+        except _TrialWall:
+            res = {"score_low": -1e9, "singular": True, "wedged": True}
+            wedged_streak += 1
+        finally:
+            if use_alarm:
+                signal.alarm(0)
         if searcher:
             searcher.tell(overrides, res["score_low"]
                           if not res["singular"] else -10.0)
@@ -221,6 +250,10 @@ def run_sweep(cfg: RunConfig, X, y, n_trials: int = 20,
         if cfg.verbose:
             print(f"trial {t}: {overrides} -> {res.get('score_low'):.4f}"
                   if not res["singular"] else f"trial {t}: singular")
+        if wedged_streak >= 2:
+            print("device wedged twice in a row; stopping sweep",
+                  file=sys.stderr)
+            break
     return best
 
 
@@ -255,8 +288,6 @@ def main(argv=None):
     quantile-uniform features, reproduce_result.run_digits_flat); any other
     dataset name uses the synthetic degree-3 regression. TNF_SWEEP_TRIALS
     sets the budget (default 10)."""
-    import os
-
     cfg = RunConfig.from_args(argv)
     n_trials = int(os.environ.get("TNF_SWEEP_TRIALS", "10"))
     if cfg.timeout is None:
