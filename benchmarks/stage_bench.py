@@ -1,13 +1,15 @@
 """Stage-wise timing of the flagship node-update pipeline.
 
-Isolates the per-chunk cost of each stage of the A2 (D=16200) update —
-packed-J build, prediction, loss, rhs, K build, Gram, solve — by compiling
-scan programs that stop after each stage. Differences between consecutive
-stages attribute the wall-clock. (The full update measured 981 ms/chunk
-packed vs 366 ms of isolated Gram dot; this finds the rest.)
+Isolates the per-chunk cost of each stage of the A2 (D=16200) update by
+compiling scan programs that stop after each stage; differences between
+consecutive stages attribute the wall-clock. Stages call the ENGINE's own
+methods (packed_jacobian / packed_predict / packed_gram_rhs), so the
+numbers reflect exactly what the sweep runs under the active
+TNF_GRAM_DTYPE / TNF_AUX_PRECISION mode.
 
     python benchmarks/stage_bench.py <stage> [nchunks] [B]
-stages: jbuild | pred | loss | rhs | kbuild | gram | all
+stages: jbuild | pred | loss | gram | all   (gram == A+b, the full
+packed_gram_rhs; run under TNF_GRAM_DTYPE=bf16 for the bench mode)
 """
 import os
 import sys
@@ -28,7 +30,6 @@ def main():
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
     N, r, CB, P, pp, C = 4, 18, 8, 50, 17, 9
 
-    from tensornetworksfork_tpu.core.engine import Network
     from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
     from tensornetworksfork_tpu.ops.bregman import XEBregman
 
@@ -39,8 +40,7 @@ def main():
     t = net.topology
     ni = t.by_name["A2"]
     ci = t.col_of[ni]
-    name = t.nodes[ni].name
-    core = layer.params[name]
+    core = layer.params[t.nodes[ni].name]
     loss_fn = XEBregman(w=1.0)
 
     rng = np.random.default_rng(0)
@@ -62,12 +62,11 @@ def main():
     params = layer.params
 
     def per_chunk(piece, upto):
-        Lop = (L_axes, piece["L"])
-        Rop = (R_axes, piece["R"])
-        pj = net.packed_jacobian(ni, params, piece["x"], Lop, Rop)
+        pj = net.packed_jacobian(ni, params, piece["x"],
+                                 (L_axes, piece["L"]), (R_axes, piece["R"]))
         assert pj is not None
-        J2 = pj["arr"]
         if upto == "jbuild":
+            J2 = pj["arr"].astype(jnp.float32)
             return jnp.sum(J2 * J2)
         pred = net.packed_predict(pj, core)
         if upto == "pred":
@@ -75,25 +74,7 @@ def main():
         loss, g, H = loss_fn(pred, piece["y"])
         if upto == "loss":
             return loss.sum() + g.sum() + H.sum()
-        S_sz = J2.shape[0]
-        C_sz = 1
-        for d in J2.shape[1:1 + pj["n_out"]]:
-            C_sz *= d
-        D0, D1 = pj["a0_sz"], pj["r_sz"]
-        J3 = J2.reshape(S_sz, C_sz, D0, D1)
-        b = jax.lax.dot_general(J3, g.reshape(S_sz, -1),
-                                (((0, 1), (0, 1)), ((), ())),
-                                precision=net.precision)
-        if upto == "rhs":
-            return jnp.sum(b)
-        K3 = jax.lax.dot_general(
-            H.reshape(S_sz, C_sz, C_sz), J3.reshape(S_sz, C_sz, D0 * D1),
-            (((1,), (1,)), ((0,), (0,))),
-            precision=net.precision).reshape(S_sz, C_sz, D0, D1)
-        if upto == "kbuild":
-            return jnp.sum(K3) + jnp.sum(b)
-        A = jax.lax.dot_general(J3, K3, (((0, 1), (0, 1)), ((), ())),
-                                precision=net.precision)
+        A, b = net.packed_gram_rhs(pj, g, H)
         if upto in ("gram", "all"):
             return jnp.sum(A) + jnp.sum(b)
         raise ValueError(stage)
@@ -115,7 +96,9 @@ def main():
         float(run(L, R, x, y))
         reps.append(time.perf_counter() - t0)
     print(f"{stage}: {min(reps)*1e3:.0f} ms / {nchunks} chunks "
-          f"-> {min(reps)/nchunks*1e3:.0f} ms/chunk")
+          f"-> {min(reps)/nchunks*1e3:.1f} ms/chunk "
+          f"(gram_dtype={os.environ.get('TNF_GRAM_DTYPE', 'f32')}, "
+          f"aux={os.environ.get('TNF_AUX_PRECISION', 'highest')})")
 
 
 if __name__ == "__main__":
