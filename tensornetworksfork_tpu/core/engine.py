@@ -104,7 +104,7 @@ class Network:
 
     # ------------------------------------------------------------- pallas tier
     def _kernel_gram(self, kind: str, X: jax.Array, Y: jax.Array,
-                     row_group: int = 1) -> jax.Array:
+                     row_group: int = 1, mirror: bool = True) -> jax.Array:
         """Dispatch a Pallas Gram kernel: A = Xᵀ diag(Y) X ('weighted') or
         Xᵀ Y ('pair', symmetric). X is (rows, D) with rows the flattened
         (sample, class) axis; row_group is the class-block size C — under a
@@ -122,8 +122,9 @@ class Network:
 
         def call(x, y):
             if kind == "weighted":
-                return weighted_gram(x, y, interpret=interp)
-            return gram_pair(x, y, interpret=interp, symmetric=True)
+                return weighted_gram(x, y, interpret=interp, mirror=mirror)
+            return gram_pair(x, y, interpret=interp, symmetric=True,
+                             mirror=mirror)
 
         if self.mesh is None:
             return call(X, Y)
@@ -443,10 +444,19 @@ class Network:
             pred = pred.reshape(pred.shape + (1,) * pj["pad_out"])
         return pred
 
-    def packed_gram_rhs(self, pj, grad: jax.Array, hess: jax.Array):
+    def packed_gram_rhs(self, pj, grad: jax.Array, hess: jax.Array,
+                        defer_mirror: bool = False):
         """A = Jᵀ H J, b = Jᵀ g on the packed Jacobian. Requires the out
         axes present in J to be ALL output axes (or none); the sweep's
-        conv-TT/TT nodes satisfy this. Honors TNF_GRAM_DTYPE=bf16."""
+        conv-TT/TT nodes satisfy this. Honors TNF_GRAM_DTYPE=bf16.
+
+        defer_mirror=True changes the return to (A, b, deferred): when the
+        packed-syrk kernel route is taken, A comes back RAW (exact upper
+        triangle, undefined lower — ops.pallas.gram mirror=False) and
+        `deferred` is True (a trace-time Python bool). The caller accumulates
+        raw chunks and applies mirror_gram() ONCE before the solve — the
+        mirror's full-matrix transpose costs ~46 ms at D=16200, which per
+        chunk would eat the kernel's entire win."""
         t = self.topology
         J2 = pj["arr"]
         n_out = pj["n_out"]
@@ -463,39 +473,47 @@ class Network:
         b = jax.lax.dot_general(J3, g2, (((0, 1), (0, 1)), ((), ())),
                                 precision=self.aux_precision,
                                 preferred_element_type=jnp.float32)
-        from ..ops.pallas.gram import gram_dtype
+        from ..ops.pallas.gram import _packed_enabled, gram_dtype
         gd = gram_dtype() if not jnp.iscomplexobj(J2) else None
         dot_prec = (jax.lax.Precision.DEFAULT if gd is not None
                     else self.precision)
         D = D0 * D1
-        # f32 big-D fast path: the Pallas syrk computes only the upper
-        # triangle (32.7 vs 26.5 TFLOP/s for the multi-dot at the flagship
-        # shape, benchmarks/gram_bench.py). The packed J3 is (S, C, D0, D1)
-        # with ~1.0-1.5x padding, so flattening to (S*C, D) is a cheap
-        # relayout copy, not the round-1 8x-padded OOM (that was the
-        # UNpacked multi-axis J). bf16 operands stay on the XLA multi-dot:
-        # they run DMA-bound, where syrk gains nothing and the flatten
-        # copies cost (measured, RESULTS.md kernel ladder).
-        use_syrk = (self.use_pallas and gd is None
-                    and not jnp.iscomplexobj(J2)
-                    and D >= int(os.environ.get("TNF_PACKED_SYRK_MIN_D",
-                                                "4096")))
-        if use_syrk:
+        # Big-D fast path: the packed-grid Pallas syrk computes and DMAs only
+        # the upper-triangle tiles (benchmarks/gram_bench.py ladder). The
+        # packed J3 is (S, C, D0, D1) with ~1.0-1.5x padding, so flattening
+        # to (S*C, D) is a cheap relayout copy, not the round-1 8x-padded OOM
+        # (that was the UNpacked multi-axis J). f32: 32.7 vs 26.5 TFLOP/s for
+        # the multi-dot (round 2). bf16: the packed grid halves the DMA too —
+        # kernel ~46 ms vs XLA's 84 ms flat dot at flagship shape — but ONLY
+        # with the mirror deferred to the accumulation consumer; the round-2
+        # visit-all syrk (TNF_PALLAS_PACKED=0) still paid the skipped tiles'
+        # DMA and lost at bf16, so that fallback keeps the XLA multi-dot.
+        use_kernel = (self.use_pallas
+                      and not jnp.iscomplexobj(J2)
+                      and (gd is None or _packed_enabled())
+                      and D >= int(os.environ.get("TNF_PACKED_SYRK_MIN_D",
+                                                  "4096")))
+        if use_kernel:
             rows = S_sz * C_sz
             Jf = J3.reshape(rows, D)
             if diag:
                 # fused weighting: the H-weighted copy of J never hits HBM
                 A = self._kernel_gram(
-                    "weighted", Jf, hess.reshape(rows).astype(jnp.float32))
+                    "weighted", Jf, hess.reshape(rows).astype(jnp.float32),
+                    mirror=not defer_mirror)
             else:
-                H2 = hess.reshape(S_sz, C_sz, C_sz)
+                H2 = hess.reshape(S_sz, C_sz, C_sz).astype(J3.dtype)
                 K3 = jax.lax.dot_general(
                     H2, J3.reshape(S_sz, C_sz, D),
                     (((1,), (1,)), ((0,), (0,))),
                     precision=dot_prec).reshape(S_sz, C_sz, D0, D1)
                 A = self._kernel_gram("pair", Jf, K3.reshape(rows, D),
-                                      row_group=C_sz)
-            return A.astype(J2.dtype), b.reshape(D)
+                                      row_group=C_sz,
+                                      mirror=not defer_mirror)
+            A = A.astype(jnp.float32)  # kernels accumulate f32; keep it
+            if defer_mirror:
+                return A, b.reshape(D), True
+            return A, b.reshape(D)
         if diag:
             h2 = hess.reshape(S_sz, -1)
             K3 = J3 * h2[:, :, None, None].astype(J3.dtype)
@@ -521,6 +539,8 @@ class Network:
         # chunk scan costs ~17 GB of HBM traffic per chunk (measured: the
         # update dropped from 981 to ~400 ms/chunk with the flat carry).
         D = D0 * D1
+        if defer_mirror:
+            return A.reshape(D, D), b.reshape(D), False
         return A.reshape(D, D), b.reshape(D)
 
     def predict_from_jacobian(self, ni: int, J: Operand, core: jax.Array) -> jax.Array:

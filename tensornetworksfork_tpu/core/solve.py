@@ -57,8 +57,19 @@ def solve_block(A: jax.Array, b: jax.Array, node_value: jax.Array,
 
     def _solve(M, rhs):
         if method in ("ridge_cholesky", "cholesky"):
-            c, low = cho_factor(M)
-            return cho_solve((c, low), rhs)
+            if jnp.iscomplexobj(M):
+                c, low = cho_factor(M)
+                return cho_solve((c, low), rhs)
+            # cho_factor symmetrizes its input — (M + Mᵀ)/2 is a full-matrix
+            # transpose that costs ~46 ms at D=16200 (measured). Our Grams
+            # are symmetric by construction (Gauss-Newton JᵀHJ, mirrored
+            # exactly on the Pallas path), so read the lower triangle as-is.
+            L = jax.lax.linalg.cholesky(M, symmetrize_input=False)
+            y = jax.lax.linalg.triangular_solve(
+                L, rhs[:, None], left_side=True, lower=True)
+            x = jax.lax.linalg.triangular_solve(
+                L, y, left_side=True, lower=True, transpose_a=True)
+            return x[:, 0]
         return jnp.linalg.solve(M, rhs)
 
     x = _solve(A_f, -b_f)

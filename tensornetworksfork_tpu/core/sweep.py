@@ -537,6 +537,13 @@ class Sweeper:
                 D = core.size
                 A0 = jnp.zeros((D, D), core.dtype)
                 b0 = jnp.zeros((D,), core.dtype)
+                # Trace-time cell: packed_gram_rhs reports (static bool)
+                # whether its A chunks come back mirror-deferred — raw syrk
+                # output with exact upper triangle, undefined lower. lax.scan
+                # traces `body` eagerly, so the flag is set by the time the
+                # scan call returns and the one-time mirror below is traced
+                # conditionally (no runtime branch).
+                deferred = {"mirror": False}
 
                 def body(carry, piece):
                     A_acc, b_acc, loss_acc = carry
@@ -551,7 +558,8 @@ class Sweeper:
                     loss, g, H = loss_fn(pred, piece["y"])
                     loss, g, H = weighted(loss, g, H, piece["w"])
                     if pj is not None:
-                        A, b = net.packed_gram_rhs(pj, g, H)
+                        A, b, deferred["mirror"] = net.packed_gram_rhs(
+                            pj, g, H, defer_mirror=True)
                     else:
                         A, b = net.gram_and_rhs(ni, J, g, H)
                         A = A.reshape(D, D)
@@ -559,6 +567,9 @@ class Sweeper:
                     return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
 
                 (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
+                if deferred["mirror"]:
+                    from ..ops.pallas.gram import mirror_gram
+                    A = mirror_gram(A)
                 step, ok = solve_block(A, b, core, method, eps, cfg.refine)
                 new_core = apply_update(core, step.reshape(core.shape),
                                         cfg.lr, cfg.adaptive_step,

@@ -73,6 +73,36 @@ def gram_dtype():
 VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MB core limit
 
 
+# --------------------------------------------------------------- packed syrk
+# The round-2 syrk kernels skipped the lower-triangle COMPUTE with pl.when,
+# but the grid still *visited* every (i, j, b) point — so Pallas's pipeline
+# still DMA'd the input blocks for skipped tiles, and at bf16 (DMA-bound)
+# symmetry bought nothing (measured, RESULTS.md round-2 ladder). The packed
+# grid instead enumerates ONLY the upper-triangle tile pairs via the
+# round-robin map (k, i) -> {i, (i+k) mod n}: every unordered pair at
+# circular distance k appears exactly once for k < n/2 (k=0 is the
+# diagonal); for even n the distance-n/2 pairs appear twice — the duplicate
+# grid point recomputes the SAME tile and overwrites it with the same
+# value (b==0 resets the accumulator), so it costs ~3% redundant work and
+# needs no masking. Both MXU work and HBM traffic drop ~2x; there is no
+# conditional in the kernel body at all.
+
+
+def _packed_nk(n: int) -> int:
+    """Number of k rounds: diagonal (k=0) + circular distances 1..floor(n/2)."""
+    return n // 2 + 1
+
+
+def _pq(k, i, n: int):
+    """Upper-triangle tile coordinates for round k, row i (traced scalars)."""
+    j = jax.lax.rem(i + k, n)
+    return jnp.minimum(i, j), jnp.maximum(i, j)
+
+
+def _packed_enabled() -> bool:
+    return os.environ.get("TNF_PALLAS_PACKED", "1") == "1"
+
+
 def _clamp_grid(tile: int, block: int, itemsize: int):
     """Shrink (tile, block) until the kernel's VMEM footprint fits.
 
@@ -148,10 +178,11 @@ def _syrk_weighted_kernel(h_ref, j1_ref, j2_ref, out_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "block", "symmetric"))
+                   static_argnames=("interpret", "tile", "block", "symmetric",
+                                    "mirror"))
 def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
                   tile: Optional[int] = None, block: Optional[int] = None,
-                  symmetric: bool = True) -> jax.Array:
+                  symmetric: bool = True, mirror: bool = True) -> jax.Array:
     """A[d, e] = sum_s h[s] J[s, d] J[s, e].  J: (B, D), h: (B,).
 
     The diagonal-Hessian Gram with the per-sample weighting FUSED into the
@@ -165,9 +196,10 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
     if block is None:
         block = default_block()
     tile, block = _clamp_grid(tile, block, jnp.dtype(J.dtype).itemsize)
-    if symmetric and J.dtype == jnp.bfloat16 and os.environ.get(
+    packed = _packed_enabled()
+    if symmetric and not packed and J.dtype == jnp.bfloat16 and os.environ.get(
             "TNF_PALLAS_SYM", "auto") == "auto":
-        symmetric = False  # same DMA-bound policy as gram_pair
+        symmetric = False  # the visit-all syrk saves no DMA (round-2 policy)
     B, D = J.shape
     BS = min(B, block)
     Bp = ((B + BS - 1) // BS) * BS
@@ -175,22 +207,41 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
     if Dp != D or Bp != B:
         J = jnp.pad(J, ((0, Bp - B), (0, Dp - D)))
     h2 = jnp.pad(h, (0, Bp - B)).reshape(Bp, 1).astype(jnp.float32)
-    grid = (Dp // tile, Dp // tile, Bp // BS)
-
-    A = pl.pallas_call(
-        _syrk_weighted_kernel if symmetric else _kernel,
-        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
-        grid=grid,
-        in_specs=[
+    n = Dp // tile
+    if symmetric and packed:
+        grid = (_packed_nk(n), n, Bp // BS)
+        in_specs = [
+            pl.BlockSpec((BS, 1), lambda k, i, b: (b, 0)),
+            pl.BlockSpec((BS, tile), lambda k, i, b: (b, _pq(k, i, n)[0])),
+            pl.BlockSpec((BS, tile), lambda k, i, b: (b, _pq(k, i, n)[1])),
+        ]
+        out_spec = pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n))
+        kernel = _kernel
+    else:
+        grid = (n, n, Bp // BS)
+        in_specs = [
             pl.BlockSpec((BS, 1), lambda i, j, b: (b, 0)),
             pl.BlockSpec((BS, tile), lambda i, j, b: (b, i)),
             pl.BlockSpec((BS, tile), lambda i, j, b: (b, j)),
-        ],
-        out_specs=pl.BlockSpec((tile, tile), lambda i, j, b: (i, j)),
+        ]
+        out_spec = pl.BlockSpec((tile, tile), lambda i, j, b: (i, j))
+        kernel = _syrk_weighted_kernel if symmetric else _kernel
+
+    A = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         interpret=interpret,
     )(h2, J, J)
-    if symmetric:
+    if symmetric and mirror:
         A = jnp.triu(A) + jnp.triu(A, 1).T
+    # mirror=False returns the RAW syrk output: exact upper triangle,
+    # UNDEFINED strictly-lower content (packed grid never visits those
+    # tiles). Callers accumulate raw chunks and apply mirror_gram() once —
+    # the transpose-heavy mirror costs ~46 ms at D=16200 (measured), so per
+    # chunk it dominated the kernel itself.
     return A[:D, :D]
 
 
@@ -252,10 +303,11 @@ def _syrk_kernel(j1_ref, j2_ref, out_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "block", "symmetric"))
+                   static_argnames=("interpret", "tile", "block", "symmetric",
+                                    "mirror"))
 def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
               tile: Optional[int] = None, block: Optional[int] = None,
-              symmetric: bool = False) -> jax.Array:
+              symmetric: bool = False, mirror: bool = True) -> jax.Array:
     """A[d, e] = sum_s J1[s, d] J2[s, e] — the full-Hessian Gram form: with
     J1 = J reshaped (B*C, D) and J2 = (H-weighted coeff) reshaped, this is
     the XE-path Gram accumulation (engine.gram_and_rhs full branch).
@@ -276,11 +328,12 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
     if block is None:
         block = default_block()
     tile, block = _clamp_grid(tile, block, jnp.dtype(J1.dtype).itemsize)
-    if symmetric and J1.dtype == jnp.bfloat16 and os.environ.get(
+    packed = _packed_enabled()
+    if symmetric and not packed and J1.dtype == jnp.bfloat16 and os.environ.get(
             "TNF_PALLAS_SYM", "auto") == "auto":
-        # measured (gram_bench, D=16200): bf16 runs DMA-bound — skipping the
-        # lower-triangle dots saves nothing and the zero-fill adds ~6%.
-        # Symmetry only pays where compute dominates (f32 passes).
+        # round-2 policy for the visit-all syrk: bf16 ran DMA-bound, skipping
+        # only the lower-triangle DOTS saved nothing. The packed grid (which
+        # also halves the DMA) supersedes this — kept for TNF_PALLAS_PACKED=0.
         symmetric = False
     B, D = J1.shape
     BS = min(B, block)
@@ -289,21 +342,44 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
     if Dp != D or Bp != B:
         J1 = jnp.pad(J1, ((0, Bp - B), (0, Dp - D)))
         J2 = jnp.pad(J2, ((0, Bp - B), (0, Dp - D)))
-    grid = (Dp // tile, Dp // tile, Bp // BS)
-    A = pl.pallas_call(
-        _syrk_kernel if symmetric else _pair_kernel,
-        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
-        grid=grid,
-        in_specs=[
+    n = Dp // tile
+    if symmetric and packed:
+        grid = (_packed_nk(n), n, Bp // BS)
+        in_specs = [
+            pl.BlockSpec((BS, tile), lambda k, i, b: (b, _pq(k, i, n)[0])),
+            pl.BlockSpec((BS, tile), lambda k, i, b: (b, _pq(k, i, n)[1])),
+        ]
+        out_spec = pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n))
+        kernel = _pair_kernel
+    else:
+        grid = (n, n, Bp // BS)
+        in_specs = [
             pl.BlockSpec((BS, tile), lambda i, j, b: (b, i)),
             pl.BlockSpec((BS, tile), lambda i, j, b: (b, j)),
-        ],
-        out_specs=pl.BlockSpec((tile, tile), lambda i, j, b: (i, j)),
+        ]
+        out_spec = pl.BlockSpec((tile, tile), lambda i, j, b: (i, j))
+        kernel = _syrk_kernel if symmetric else _pair_kernel
+    A = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         interpret=interpret,
     )(J1, J2)
-    if symmetric:
+    if symmetric and mirror:
         # mirror the strictly-upper triangle into the lower half; diagonal
         # tiles were computed fully, so an elementwise triu-mirror
         # reconstructs the exact symmetric A.
         A = jnp.triu(A) + jnp.triu(A, 1).T
+    # mirror=False: raw upper-valid / lower-undefined output — see
+    # weighted_gram. Use mirror_gram() after accumulating raw chunks.
     return A[:D, :D]
+
+
+def mirror_gram(A: jax.Array) -> jax.Array:
+    """Reconstruct the full symmetric A from a raw (upper-valid) syrk output.
+
+    Exact no-op on an already-symmetric A, so callers that accumulated
+    mirror=False chunks can apply it unconditionally."""
+    return jnp.triu(A) + jnp.triu(A, 1).T
