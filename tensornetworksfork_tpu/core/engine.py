@@ -455,7 +455,7 @@ class Network:
         triangle, undefined lower — ops.pallas.gram mirror=False) and
         `deferred` is True (a trace-time Python bool). The caller accumulates
         raw chunks and applies mirror_gram() ONCE before the solve — the
-        mirror's full-matrix transpose costs ~46 ms at D=16200, which per
+        mirror's full-matrix transpose costs ~15 ms at D=16200, which per
         chunk would eat the kernel's entire win."""
         t = self.topology
         J2 = pj["arr"]
@@ -484,7 +484,8 @@ class Network:
         # to (S*C, D) is a cheap relayout copy, not the round-1 8x-padded OOM
         # (that was the UNpacked multi-axis J). f32: 32.7 vs 26.5 TFLOP/s for
         # the multi-dot (round 2). bf16: the packed grid halves the DMA too —
-        # kernel ~46 ms vs XLA's 84 ms flat dot at flagship shape — but ONLY
+        # kernel 42.6 ms vs XLA's 52.8 ms flat dot at flagship shape (slope-
+        # timed, axon RTT excluded) — but ONLY
         # with the mirror deferred to the accumulation consumer; the round-2
         # visit-all syrk (TNF_PALLAS_PACKED=0) still paid the skipped tiles'
         # DMA and lost at bf16, so that fallback keeps the XLA multi-dot.

@@ -61,7 +61,7 @@ def solve_block(A: jax.Array, b: jax.Array, node_value: jax.Array,
                 c, low = cho_factor(M)
                 return cho_solve((c, low), rhs)
             # cho_factor symmetrizes its input — (M + Mᵀ)/2 is a full-matrix
-            # transpose that costs ~46 ms at D=16200 (measured). Our Grams
+            # transpose that costs ~15 ms at D=16200 (slope-timed). Our Grams
             # are symmetric by construction (Gauss-Newton JᵀHJ, mirrored
             # exactly on the Pallas path), so read the lower triangle as-is.
             L = jax.lax.linalg.cholesky(M, symmetrize_input=False)

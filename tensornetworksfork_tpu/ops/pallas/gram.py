@@ -54,7 +54,12 @@ def default_tile() -> int:
 
 
 def default_block() -> int:
-    return int(os.environ.get("TNF_PALLAS_BLOCK", "512"))
+    """Sample-block rows per grid step. Measured on the packed grid at the
+    flagship shape (slope-timed to exclude the ~31 ms axon dispatch RTT):
+    BS 512 -> 50.0 ms, 1024 -> 44.0, 1536 -> 42.6 (bf16, tile 512); f32
+    clamps to 768 under the VMEM model. Larger requests VMEM-overflow the
+    Mosaic compile (HTTP 500) — _clamp_grid guards."""
+    return int(os.environ.get("TNF_PALLAS_BLOCK", "1536"))
 
 
 def gram_dtype():
@@ -240,7 +245,7 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
     # mirror=False returns the RAW syrk output: exact upper triangle,
     # UNDEFINED strictly-lower content (packed grid never visits those
     # tiles). Callers accumulate raw chunks and apply mirror_gram() once —
-    # the transpose-heavy mirror costs ~46 ms at D=16200 (measured), so per
+    # the transpose-heavy mirror costs ~15 ms at D=16200 (slope-timed), so per
     # chunk it dominated the kernel itself.
     return A[:D, :D]
 
