@@ -470,9 +470,11 @@ class Network:
         J3 = J2.reshape(S_sz, C_sz, D0, D1)
         diag = hess.ndim == grad.ndim
         g2 = grad.reshape(S_sz, -1).astype(J3.dtype)
-        b = jax.lax.dot_general(J3, g2, (((0, 1), (0, 1)), ((), ())),
-                                precision=self.aux_precision,
-                                preferred_element_type=jnp.float32)
+
+        def rhs_from_J3():
+            return jax.lax.dot_general(J3, g2, (((0, 1), (0, 1)), ((), ())),
+                                       precision=self.aux_precision,
+                                       preferred_element_type=jnp.float32)
         from ..ops.pallas.gram import _packed_enabled, gram_dtype
         gd = gram_dtype() if not jnp.iscomplexobj(J2) else None
         dot_prec = (jax.lax.Precision.DEFAULT if gd is not None
@@ -494,6 +496,48 @@ class Network:
                       and (gd is None or _packed_enabled())
                       and D >= int(os.environ.get("TNF_PACKED_SYRK_MIN_D",
                                                   "4096")))
+        if use_kernel and self.mesh is None:
+            # Single-chip fast path: retile J ONCE to (n, rows, tile) slabs
+            # and feed the SAME tiled array to the rhs dot, the K build and
+            # the Gram kernel — tiled slab reads realize ~650 GB/s vs ~480
+            # for (BS, tile) blocks of the row-major J (kernel 42.6 ->
+            # 30.5 ms at flagship shape), and amortizing one retile over all
+            # three consumers is what makes it a net win end-to-end
+            # (retiling per kernel operand measured a net LOSS: 72 -> 78
+            # ms/chunk on the A2 update).
+            from ..ops.pallas.gram import (_on_tpu, gram_pair_tiled,
+                                           plan_tiles, retile_rows,
+                                           weighted_gram_tiled)
+            interp = not _on_tpu()
+            rows = S_sz * C_sz
+            tile, block, n, Dp = plan_tiles(
+                D, jnp.dtype(J3.dtype).itemsize)
+            Jt = retile_rows(J3.reshape(rows, D), n, tile)
+            b = jax.lax.dot_general(
+                Jt, g2.reshape(rows).astype(J3.dtype),
+                (((1,), (0,)), ((), ())),
+                precision=self.aux_precision,
+                preferred_element_type=jnp.float32).reshape(Dp)[:D]
+            if diag:
+                # fused weighting: the H-weighted copy of J never hits HBM
+                A = weighted_gram_tiled(
+                    Jt, hess.reshape(rows).astype(jnp.float32),
+                    interpret=interp, tile=tile, block=block,
+                    mirror=not defer_mirror)
+            else:
+                H2 = hess.reshape(S_sz, C_sz, C_sz).astype(J3.dtype)
+                # K slab-wise from the tiled J: class mixing acts on the
+                # rows axis, so tiling D commutes with the K build
+                Kt = jnp.einsum(
+                    "scd,nsdt->nsct", H2, Jt.reshape(n, S_sz, C_sz, tile),
+                    precision=dot_prec).reshape(n, rows, tile)
+                A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
+                                    block=block, mirror=not defer_mirror)
+            A = A[:D, :D].astype(jnp.float32)
+            if defer_mirror:
+                return A, b, True
+            return A, b
+        b = rhs_from_J3()
         if use_kernel:
             rows = S_sz * C_sz
             Jf = J3.reshape(rows, D)

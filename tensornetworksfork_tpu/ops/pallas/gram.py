@@ -54,12 +54,13 @@ def default_tile() -> int:
 
 
 def default_block() -> int:
-    """Sample-block rows per grid step. Measured on the packed grid at the
-    flagship shape (slope-timed to exclude the ~31 ms axon dispatch RTT):
-    BS 512 -> 50.0 ms, 1024 -> 44.0, 1536 -> 42.6 (bf16, tile 512); f32
-    clamps to 768 under the VMEM model. Larger requests VMEM-overflow the
-    Mosaic compile (HTTP 500) — _clamp_grid guards."""
-    return int(os.environ.get("TNF_PALLAS_BLOCK", "1536"))
+    """Sample-block rows per grid step. Measured on the packed-TILED grid at
+    the flagship shape (slope-timed to exclude the ~31 ms axon dispatch RTT):
+    BS 1024 -> 32.8 ms, 1536 -> 31.3, 2048 -> 30.5 (bf16, tile 512); 3072
+    VMEM-overflows the Mosaic compile (HTTP 500) — _clamp_packed guards
+    (f32 clamps to 1024). The visit-all fallback grid clamps harder via
+    _clamp_grid."""
+    return int(os.environ.get("TNF_PALLAS_BLOCK", "2048"))
 
 
 def gram_dtype():
@@ -108,6 +109,33 @@ def _packed_enabled() -> bool:
     return os.environ.get("TNF_PALLAS_PACKED", "1") == "1"
 
 
+def _retile(x: jax.Array, n: int, tile: int) -> jax.Array:
+    """(rows, n*tile) -> (n, rows, tile): one contiguous slab per D-tile.
+
+    The packed grid's (BS, tile) blocks of a row-major (rows, D) operand are
+    strided reads (1 KB per row at tile 512/bf16) that realize only ~480 GB/s;
+    pre-tiling makes each block a contiguous read and takes the flagship
+    packed kernel 42.6 -> 30.5 ms (slope-timed). The transpose costs ~3.5 ms
+    standalone and XLA can often fuse it into the operand's producer."""
+    rows = x.shape[0]
+    return jnp.transpose(x.reshape(rows, n, tile), (1, 0, 2))
+
+
+def _clamp_packed(tile: int, block: int, itemsize: int):
+    """VMEM clamp for the packed-tiled grid: triple-buffered (block, tile)
+    operand slabs + ONE resident f32 (tile, tile) accumulator (the out tile
+    is revisited across the innermost axis, not multi-buffered). Calibrated
+    on hardware: bf16 t512 b2048 compiles, b3072 VMEM-overflows (HTTP 500)."""
+    def fits(t, b):
+        return (3 * 2 * b * t * itemsize + t * t * 4) <= VMEM_BUDGET
+
+    while not fits(tile, block) and block > 128:
+        block //= 2
+    while not fits(tile, block) and tile > 128:
+        tile //= 2
+    return tile, block
+
+
 def _clamp_grid(tile: int, block: int, itemsize: int):
     """Shrink (tile, block) until the kernel's VMEM footprint fits.
 
@@ -141,10 +169,7 @@ def pallas_enabled() -> bool:
 def _kernel(h_ref, j1_ref, j2_ref, out_ref):
     w = h_ref[:]  # (BS, 1)
     jw = (j1_ref[:] * w).astype(j1_ref.dtype)
-    tile = jax.lax.dot_general(
-        jw, j2_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_dot_precision(j1_ref))
+    tile = _gram_dot(jw, j2_ref[:])
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -164,10 +189,7 @@ def _syrk_weighted_kernel(h_ref, j1_ref, j2_ref, out_ref):
     def _():
         w = h_ref[:]
         jw = (j1_ref[:] * w).astype(j1_ref.dtype)
-        tile = jax.lax.dot_general(
-            jw, j2_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_dot_precision(j1_ref))
+        tile = _gram_dot(jw, j2_ref[:])
 
         @pl.when(b == 0)
         def _():
@@ -200,8 +222,9 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
         tile = default_tile()
     if block is None:
         block = default_block()
-    tile, block = _clamp_grid(tile, block, jnp.dtype(J.dtype).itemsize)
     packed = _packed_enabled()
+    clamp = _clamp_packed if (symmetric and packed) else _clamp_grid
+    tile, block = clamp(tile, block, jnp.dtype(J.dtype).itemsize)
     if symmetric and not packed and J.dtype == jnp.bfloat16 and os.environ.get(
             "TNF_PALLAS_SYM", "auto") == "auto":
         symmetric = False  # the visit-all syrk saves no DMA (round-2 policy)
@@ -214,15 +237,18 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
     h2 = jnp.pad(h, (0, Bp - B)).reshape(Bp, 1).astype(jnp.float32)
     n = Dp // tile
     if symmetric and packed:
+        Jt = _retile(J, n, tile)
+        operands = (h2, Jt, Jt)
         grid = (_packed_nk(n), n, Bp // BS)
         in_specs = [
             pl.BlockSpec((BS, 1), lambda k, i, b: (b, 0)),
-            pl.BlockSpec((BS, tile), lambda k, i, b: (b, _pq(k, i, n)[0])),
-            pl.BlockSpec((BS, tile), lambda k, i, b: (b, _pq(k, i, n)[1])),
+            pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
+            pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
         ]
         out_spec = pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n))
-        kernel = _kernel
+        kernel = _weighted_kernel_tiled
     else:
+        operands = (h2, J, J)
         grid = (n, n, Bp // BS)
         in_specs = [
             pl.BlockSpec((BS, 1), lambda i, j, b: (b, 0)),
@@ -239,7 +265,7 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
         in_specs=in_specs,
         out_specs=out_spec,
         interpret=interpret,
-    )(h2, J, J)
+    )(*operands)
     if symmetric and mirror:
         A = jnp.triu(A) + jnp.triu(A, 1).T
     # mirror=False returns the RAW syrk output: exact upper triangle,
@@ -262,11 +288,49 @@ def _dot_precision(ref):
     return (jax.lax.Precision.DEFAULT if ref.dtype == jnp.bfloat16 else None)
 
 
-def _pair_kernel(j1_ref, j2_ref, out_ref):
-    tile = jax.lax.dot_general(
-        j1_ref[:], j2_ref[:], (((0,), (0,)), ((), ())),
+def _gram_dot(j1, j2):
+    """tileᵀ-Gram dot: A_tile = j1ᵀ j2 for (BS, T) VMEM blocks.
+
+    Mosaic lowers a dim0×dim0 contraction ~1.65x slower than the natural
+    (1,)×(0,) form (measured 62 vs 102 TFLOP/s bf16 at BS=2048, T=512);
+    an explicit in-VMEM transpose of the lhs then a natural dot is the
+    fast lowering."""
+    return jax.lax.dot_general(
+        j1.T, j2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_dot_precision(j1_ref))
+        precision=_dot_precision(j1))
+
+
+def _pair_kernel(j1_ref, j2_ref, out_ref):
+    tile = _gram_dot(j1_ref[:], j2_ref[:])
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = tile
+
+    @pl.when(pl.program_id(2) != 0)
+    def _():
+        out_ref[:] = out_ref[:] + tile
+
+
+def _pair_kernel_tiled(j1_ref, j2_ref, out_ref):
+    """_pair_kernel over pre-tiled (1, BS, tile) operand slabs."""
+    tile = _gram_dot(j1_ref[0], j2_ref[0])
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = tile
+
+    @pl.when(pl.program_id(2) != 0)
+    def _():
+        out_ref[:] = out_ref[:] + tile
+
+
+def _weighted_kernel_tiled(h_ref, j1_ref, j2_ref, out_ref):
+    """_kernel (fused weighting) over pre-tiled (1, BS, tile) slabs."""
+    w = h_ref[:]  # (BS, 1)
+    jw = (j1_ref[0] * w).astype(j1_ref.dtype)
+    tile = _gram_dot(jw, j2_ref[0])
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -286,10 +350,7 @@ def _syrk_kernel(j1_ref, j2_ref, out_ref):
 
     @pl.when(i <= j)
     def _():
-        tile = jax.lax.dot_general(
-            j1_ref[:], j2_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_dot_precision(j1_ref))
+        tile = _gram_dot(j1_ref[:], j2_ref[:])
 
         @pl.when(b == 0)
         def _():
@@ -332,8 +393,9 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
         tile = default_tile()
     if block is None:
         block = default_block()
-    tile, block = _clamp_grid(tile, block, jnp.dtype(J1.dtype).itemsize)
     packed = _packed_enabled()
+    clamp = _clamp_packed if (symmetric and packed) else _clamp_grid
+    tile, block = clamp(tile, block, jnp.dtype(J1.dtype).itemsize)
     if symmetric and not packed and J1.dtype == jnp.bfloat16 and os.environ.get(
             "TNF_PALLAS_SYM", "auto") == "auto":
         # round-2 policy for the visit-all syrk: bf16 ran DMA-bound, skipping
@@ -349,13 +411,17 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
         J2 = jnp.pad(J2, ((0, Bp - B), (0, Dp - D)))
     n = Dp // tile
     if symmetric and packed:
+        J1 = _retile(J1, n, tile)
+        J2 = _retile(J2, n, tile)
         grid = (_packed_nk(n), n, Bp // BS)
         in_specs = [
-            pl.BlockSpec((BS, tile), lambda k, i, b: (b, _pq(k, i, n)[0])),
-            pl.BlockSpec((BS, tile), lambda k, i, b: (b, _pq(k, i, n)[1])),
+            pl.BlockSpec((1, BS, tile),
+                         lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
+            pl.BlockSpec((1, BS, tile),
+                         lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
         ]
         out_spec = pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n))
-        kernel = _pair_kernel
+        kernel = _pair_kernel_tiled
     else:
         grid = (n, n, Bp // BS)
         in_specs = [
@@ -388,3 +454,100 @@ def mirror_gram(A: jax.Array) -> jax.Array:
     Exact no-op on an already-symmetric A, so callers that accumulated
     mirror=False chunks can apply it unconditionally."""
     return jnp.triu(A) + jnp.triu(A, 1).T
+
+
+# ------------------------------------------------------------ pretiled entry
+def plan_tiles(D: int, itemsize: int):
+    """Plan the packed-tiled grid for a caller that pre-tiles its operands.
+
+    Returns (tile, block, n, Dp): callers reshape a (rows, D) operand to
+    (n, rows, tile) — padding D to Dp = n*tile first — and pass it to
+    gram_pair_tiled / weighted_gram_tiled with the same (tile, block).
+    Producing the operands in tiled layout lets one retile feed the K build,
+    the rhs AND the Gram kernel, instead of each kernel call paying its own
+    strided reads (engine.packed_gram_rhs)."""
+    tile, block = _clamp_packed(default_tile(), default_block(), itemsize)
+    n = (D + tile - 1) // tile
+    return tile, block, n, n * tile
+
+
+def retile_rows(Jf: jax.Array, n: int, tile: int) -> jax.Array:
+    """(rows, D) -> (n, rows, tile) with D padded to n*tile."""
+    rows, D = Jf.shape
+    Dp = n * tile
+    if Dp != D:
+        Jf = jnp.pad(Jf, ((0, 0), (0, Dp - D)))
+    return _retile(Jf, n, tile)
+
+
+def _pad_rows3(x: jax.Array, BS: int):
+    B = x.shape[1]
+    Bp = ((B + BS - 1) // BS) * BS
+    if Bp != B:
+        x = jnp.pad(x, ((0, 0), (0, Bp - B), (0, 0)))
+    return x, Bp
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "block", "mirror"))
+def gram_pair_tiled(J1t: jax.Array, J2t: jax.Array, interpret: bool = False,
+                    tile: int = 512, block: int = 2048,
+                    mirror: bool = False) -> jax.Array:
+    """gram_pair(symmetric=True) over PRE-TILED (n, rows, tile) operands.
+
+    Returns the full (n*tile, n*tile) A — callers slice [:D, :D]. mirror
+    semantics as gram_pair; the packed grid is always used."""
+    CALLS["gram_pair"] += 1
+    n = J1t.shape[0]
+    BS = min(J1t.shape[1], block)
+    J1t, Bp = _pad_rows3(J1t, BS)
+    J2t, _ = _pad_rows3(J2t, BS)
+    Dp = n * tile
+    A = pl.pallas_call(
+        _pair_kernel_tiled,
+        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+        grid=(_packed_nk(n), n, Bp // BS),
+        in_specs=[
+            pl.BlockSpec((1, BS, tile),
+                         lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
+            pl.BlockSpec((1, BS, tile),
+                         lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n)),
+        interpret=interpret,
+    )(J1t, J2t)
+    if mirror:
+        A = jnp.triu(A) + jnp.triu(A, 1).T
+    return A
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "block", "mirror"))
+def weighted_gram_tiled(Jt: jax.Array, h: jax.Array, interpret: bool = False,
+                        tile: int = 512, block: int = 2048,
+                        mirror: bool = False) -> jax.Array:
+    """weighted_gram over a PRE-TILED (n, rows, tile) operand. h: (rows,)."""
+    CALLS["weighted_gram"] += 1
+    n = Jt.shape[0]
+    B = Jt.shape[1]
+    BS = min(B, block)
+    Jt, Bp = _pad_rows3(Jt, BS)
+    h2 = jnp.pad(h, (0, Bp - B)).reshape(Bp, 1).astype(jnp.float32)
+    Dp = n * tile
+    A = pl.pallas_call(
+        _weighted_kernel_tiled,
+        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+        grid=(_packed_nk(n), n, Bp // BS),
+        in_specs=[
+            pl.BlockSpec((BS, 1), lambda k, i, b: (b, 0)),
+            pl.BlockSpec((1, BS, tile),
+                         lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
+            pl.BlockSpec((1, BS, tile),
+                         lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n)),
+        interpret=interpret,
+    )(h2, Jt, Jt)
+    if mirror:
+        A = jnp.triu(A) + jnp.triu(A, 1).T
+    return A
