@@ -125,12 +125,17 @@ def _clamp_packed(tile: int, block: int, itemsize: int):
     """VMEM clamp for the packed-tiled grid: triple-buffered (block, tile)
     operand slabs + ONE resident f32 (tile, tile) accumulator (the out tile
     is revisited across the innermost axis, not multi-buffered). Calibrated
-    on hardware: bf16 t512 b2048 compiles, b3072 VMEM-overflows (HTTP 500)."""
-    def fits(t, b):
-        return (3 * 2 * b * t * itemsize + t * t * 4) <= VMEM_BUDGET
+    on hardware at tile 512: bf16 block 2048 compiles, 3072 overflows;
+    f32 block 768 compiles, 1024 overflows at 18.75M scoped (the f32
+    in-kernel transpose+6-pass dot needs more scratch, hence the tighter
+    budget) — so the clamp steps block down by 3/4 then halves."""
+    budget = VMEM_BUDGET if itemsize == 2 else 11 * 1024 * 1024
 
-    while not fits(tile, block) and block > 128:
-        block //= 2
+    def fits(t, b):
+        return (3 * 2 * b * t * itemsize + t * t * 4) <= budget
+
+    while not fits(tile, block) and block > 256:
+        block -= 256  # fine steps: f32 lands on 768, not a halved 512
     while not fits(tile, block) and tile > 128:
         tile //= 2
     return tile, block
