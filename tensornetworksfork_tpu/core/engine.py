@@ -444,8 +444,44 @@ class Network:
             pred = pred.reshape(pred.shape + (1,) * pj["pad_out"])
         return pred
 
+    def _packed_kernel_route(self, pj) -> bool:
+        """Trace-time: will packed_gram_rhs take the tiled Pallas route?"""
+        from ..ops.pallas.gram import _packed_enabled, gram_dtype
+        J2 = pj["arr"]
+        if jnp.iscomplexobj(J2):
+            return False
+        gd = gram_dtype()
+        D = pj["a0_sz"] * pj["r_sz"]
+        return (self.use_pallas and self.mesh is None
+                and (gd is None or _packed_enabled())
+                and D >= int(os.environ.get("TNF_PACKED_SYRK_MIN_D", "4096")))
+
+    def packed_gram_acc_init(self, pj):
+        """Zeros chunk-accumulator for the in-kernel accumulation route —
+        PADDED to the kernel's tile grid (Dp, Dp) f32 — or None when the
+        tiled kernel route won't be taken (caller keeps its (D, D) carry).
+        Passing the scan carry into the kernel replaces the separate
+        full-matrix A_acc + A pass (~3 GB HBM traffic per chunk at
+        D=16200) with an upper-tiles-only read inside the pipeline.
+
+        Default OFF (TNF_PALLAS_ACC=1 enables): measured NEUTRAL at the
+        flagship A2 update (70 vs 68 ms/chunk) — the acc tile's VMEM
+        buffers force the sample block 2048 -> 1536 and the extra input
+        stream offsets the saved add pass. Kept because the balance flips
+        for workloads where the (D, D) add pass dominates (more, smaller
+        chunks; XLA failing to fuse the add)."""
+        if os.environ.get("TNF_PALLAS_ACC", "0") != "1":
+            return None
+        if not self._packed_kernel_route(pj):
+            return None
+        from ..ops.pallas.gram import plan_tiles
+        D = pj["a0_sz"] * pj["r_sz"]
+        _, _, _, Dp = plan_tiles(D, jnp.dtype(pj["arr"].dtype).itemsize,
+                                 acc=True)
+        return jnp.zeros((Dp, Dp), jnp.float32)
+
     def packed_gram_rhs(self, pj, grad: jax.Array, hess: jax.Array,
-                        defer_mirror: bool = False):
+                        defer_mirror: bool = False, acc=None):
         """A = Jᵀ H J, b = Jᵀ g on the packed Jacobian. Requires the out
         axes present in J to be ALL output axes (or none); the sweep's
         conv-TT/TT nodes satisfy this. Honors TNF_GRAM_DTYPE=bf16.
@@ -511,19 +547,20 @@ class Network:
             interp = not _on_tpu()
             rows = S_sz * C_sz
             tile, block, n, Dp = plan_tiles(
-                D, jnp.dtype(J3.dtype).itemsize)
+                D, jnp.dtype(J3.dtype).itemsize, acc=acc is not None)
             Jt = retile_rows(J3.reshape(rows, D), n, tile)
             b = jax.lax.dot_general(
                 Jt, g2.reshape(rows).astype(J3.dtype),
                 (((1,), (0,)), ((), ())),
                 precision=self.aux_precision,
                 preferred_element_type=jnp.float32).reshape(Dp)[:D]
+            mirror = not defer_mirror and acc is None
             if diag:
                 # fused weighting: the H-weighted copy of J never hits HBM
                 A = weighted_gram_tiled(
                     Jt, hess.reshape(rows).astype(jnp.float32),
                     interpret=interp, tile=tile, block=block,
-                    mirror=not defer_mirror)
+                    mirror=mirror, acc=acc)
             else:
                 H2 = hess.reshape(S_sz, C_sz, C_sz).astype(J3.dtype)
                 # K slab-wise from the tiled J: class mixing acts on the
@@ -532,11 +569,19 @@ class Network:
                     "scd,nsdt->nsct", H2, Jt.reshape(n, S_sz, C_sz, tile),
                     precision=dot_prec).reshape(n, rows, tile)
                 A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
-                                    block=block, mirror=not defer_mirror)
+                                    block=block, mirror=mirror, acc=acc)
+            if acc is not None:
+                # A is the updated PADDED (Dp, Dp) raw carry: acc + this
+                # chunk's contribution, accumulated inside the kernel.
+                # Caller slices [:D, :D] and mirrors once after its scan.
+                return A, b, True
             A = A[:D, :D].astype(jnp.float32)
             if defer_mirror:
                 return A, b, True
             return A, b
+        assert acc is None, (
+            "acc accumulation requires the tiled kernel route; callers gate "
+            "on packed_gram_acc_init() which mirrors the same conditions")
         b = rhs_from_J3()
         if use_kernel:
             rows = S_sz * C_sz

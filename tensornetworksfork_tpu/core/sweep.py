@@ -535,7 +535,18 @@ class Sweeper:
                 # per-chunk read+write dominated the flagship update
                 # (engine.packed_gram_rhs docstring)
                 D = core.size
-                A0 = jnp.zeros((D, D), core.dtype)
+                # Trace-time probe (values DCE'd — only the Python-level
+                # availability and shapes are used): if the tiled Pallas
+                # route will be taken, the scan carries the engine's PADDED
+                # (Dp, Dp) raw accumulator and each chunk's Gram is added
+                # INSIDE the kernel (upper-tiles-only read) instead of a
+                # separate full-matrix A_acc + A pass per chunk.
+                probe = jax.tree_util.tree_map(lambda x: x[0], pieces)
+                pj0 = jac_packed(probe, params)
+                A0 = net.packed_gram_acc_init(pj0) if pj0 is not None else None
+                in_kernel_acc = A0 is not None
+                if A0 is None:
+                    A0 = jnp.zeros((D, D), core.dtype)
                 b0 = jnp.zeros((D,), core.dtype)
                 # Trace-time cell: packed_gram_rhs reports (static bool)
                 # whether its A chunks come back mirror-deferred — raw syrk
@@ -557,6 +568,11 @@ class Sweeper:
                         pred = pred + piece["rest"]
                     loss, g, H = loss_fn(pred, piece["y"])
                     loss, g, H = weighted(loss, g, H, piece["w"])
+                    if pj is not None and in_kernel_acc:
+                        A_new, b, deferred["mirror"] = net.packed_gram_rhs(
+                            pj, g, H, defer_mirror=True, acc=A_acc)
+                        return (A_new, b_acc + b,
+                                loss_acc + loss.sum()), None
                     if pj is not None:
                         A, b, deferred["mirror"] = net.packed_gram_rhs(
                             pj, g, H, defer_mirror=True)
@@ -567,6 +583,8 @@ class Sweeper:
                     return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
 
                 (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
+                if in_kernel_acc:
+                    A = A[:D, :D]
                 if deferred["mirror"]:
                     from ..ops.pallas.gram import mirror_gram
                     A = mirror_gram(A)

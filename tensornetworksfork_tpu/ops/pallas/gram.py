@@ -121,7 +121,7 @@ def _retile(x: jax.Array, n: int, tile: int) -> jax.Array:
     return jnp.transpose(x.reshape(rows, n, tile), (1, 0, 2))
 
 
-def _clamp_packed(tile: int, block: int, itemsize: int):
+def _clamp_packed(tile: int, block: int, itemsize: int, acc: bool = False):
     """VMEM clamp for the packed-tiled grid: triple-buffered (block, tile)
     operand slabs + ONE resident f32 (tile, tile) accumulator (the out tile
     is revisited across the innermost axis, not multi-buffered). Calibrated
@@ -130,9 +130,10 @@ def _clamp_packed(tile: int, block: int, itemsize: int):
     in-kernel transpose+6-pass dot needs more scratch, hence the tighter
     budget) — so the clamp steps block down by 3/4 then halves."""
     budget = VMEM_BUDGET if itemsize == 2 else 11 * 1024 * 1024
+    acc_bytes = (3 * 4) if acc else 0  # buffered f32 acc tile input
 
     def fits(t, b):
-        return (3 * 2 * b * t * itemsize + t * t * 4) <= budget
+        return (3 * 2 * b * t * itemsize + t * t * (4 + acc_bytes)) <= budget
 
     while not fits(tile, block) and block > 256:
         block -= 256  # fine steps: f32 lands on 768, not a halved 512
@@ -331,6 +332,56 @@ def _pair_kernel_tiled(j1_ref, j2_ref, out_ref):
         out_ref[:] = out_ref[:] + tile
 
 
+def _acc_first_visit(n: int):
+    """Accumulate-mode bookkeeping for the packed grid's duplicate round.
+
+    For even n the distance-n/2 round visits each of its tiles TWICE
+    (i and i + n/2 map to the same unordered pair). With a chunk
+    accumulator input a_ref this is no longer idempotent: exactly ONE
+    visit may add a_ref. Grid order is i-ascending and the SECOND visit's
+    flush wins, so the first visit (i < n/2) writes t alone and the second
+    (i >= n/2) writes a + t — the final flushed value is a + t. a_ref is a
+    separate (non-aliased) input, so both visits read the ORIGINAL
+    accumulator, never a twin's flush."""
+    k, i = pl.program_id(0), pl.program_id(1)
+    is_dup_round = jnp.logical_and(n % 2 == 0, 2 * k == n)
+    return jnp.logical_not(jnp.logical_and(is_dup_round, i < n // 2))
+
+
+def _make_pair_kernel_tiled_acc(n: int):
+    def kernel(a_ref, j1_ref, j2_ref, out_ref):
+        t = _gram_dot(j1_ref[0], j2_ref[0])
+        add_acc = _acc_first_visit(n)
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            out_ref[:] = t + jnp.where(add_acc, a_ref[:],
+                                       jnp.zeros_like(a_ref))
+
+        @pl.when(pl.program_id(2) != 0)
+        def _():
+            out_ref[:] = out_ref[:] + t
+    return kernel
+
+
+def _make_weighted_kernel_tiled_acc(n: int):
+    def kernel(a_ref, h_ref, j1_ref, j2_ref, out_ref):
+        w = h_ref[:]
+        jw = (j1_ref[0] * w).astype(j1_ref.dtype)
+        t = _gram_dot(jw, j2_ref[0])
+        add_acc = _acc_first_visit(n)
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            out_ref[:] = t + jnp.where(add_acc, a_ref[:],
+                                       jnp.zeros_like(a_ref))
+
+        @pl.when(pl.program_id(2) != 0)
+        def _():
+            out_ref[:] = out_ref[:] + t
+    return kernel
+
+
 def _weighted_kernel_tiled(h_ref, j1_ref, j2_ref, out_ref):
     """_kernel (fused weighting) over pre-tiled (1, BS, tile) slabs."""
     w = h_ref[:]  # (BS, 1)
@@ -462,7 +513,7 @@ def mirror_gram(A: jax.Array) -> jax.Array:
 
 
 # ------------------------------------------------------------ pretiled entry
-def plan_tiles(D: int, itemsize: int):
+def plan_tiles(D: int, itemsize: int, acc: bool = False):
     """Plan the packed-tiled grid for a caller that pre-tiles its operands.
 
     Returns (tile, block, n, Dp): callers reshape a (rows, D) operand to
@@ -470,8 +521,10 @@ def plan_tiles(D: int, itemsize: int):
     gram_pair_tiled / weighted_gram_tiled with the same (tile, block).
     Producing the operands in tiled layout lets one retile feed the K build,
     the rhs AND the Gram kernel, instead of each kernel call paying its own
-    strided reads (engine.packed_gram_rhs)."""
-    tile, block = _clamp_packed(default_tile(), default_block(), itemsize)
+    strided reads (engine.packed_gram_rhs). acc=True budgets the extra
+    buffered (tile, tile) f32 accumulator input of the acc kernels."""
+    tile, block = _clamp_packed(default_tile(), default_block(), itemsize,
+                                acc=acc)
     n = (D + tile - 1) // tile
     return tile, block, n, n * tile
 
@@ -497,30 +550,43 @@ def _pad_rows3(x: jax.Array, BS: int):
                    static_argnames=("interpret", "tile", "block", "mirror"))
 def gram_pair_tiled(J1t: jax.Array, J2t: jax.Array, interpret: bool = False,
                     tile: int = 512, block: int = 2048,
-                    mirror: bool = False) -> jax.Array:
+                    mirror: bool = False, acc=None) -> jax.Array:
     """gram_pair(symmetric=True) over PRE-TILED (n, rows, tile) operands.
 
     Returns the full (n*tile, n*tile) A — callers slice [:D, :D]. mirror
-    semantics as gram_pair; the packed grid is always used."""
+    semantics as gram_pair; the packed grid is always used.
+
+    acc (optional, (Dp, Dp) f32, raw upper-valid): chunk accumulator added
+    INSIDE the kernel — replaces the caller's separate full-matrix
+    `A_acc + A` pass (~3 GB of HBM traffic per chunk at D=16200) with an
+    upper-tiles-only read folded into the kernel pipeline. Incompatible
+    with mirror=True (the result stays raw)."""
     CALLS["gram_pair"] += 1
     n = J1t.shape[0]
     BS = min(J1t.shape[1], block)
     J1t, Bp = _pad_rows3(J1t, BS)
     J2t, _ = _pad_rows3(J2t, BS)
     Dp = n * tile
+    operands = [J1t, J2t]
+    in_specs = [
+        pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
+        pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
+    ]
+    kernel = _pair_kernel_tiled
+    if acc is not None:
+        assert not mirror, "acc accumulates raw; mirror once after the scan"
+        operands = [acc] + operands
+        in_specs = [pl.BlockSpec((tile, tile),
+                                 lambda k, i, b: _pq(k, i, n))] + in_specs
+        kernel = _make_pair_kernel_tiled_acc(n)
     A = pl.pallas_call(
-        _pair_kernel_tiled,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
         grid=(_packed_nk(n), n, Bp // BS),
-        in_specs=[
-            pl.BlockSpec((1, BS, tile),
-                         lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
-            pl.BlockSpec((1, BS, tile),
-                         lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n)),
         interpret=interpret,
-    )(J1t, J2t)
+    )(*operands)
     if mirror:
         A = jnp.triu(A) + jnp.triu(A, 1).T
     return A
@@ -530,8 +596,10 @@ def gram_pair_tiled(J1t: jax.Array, J2t: jax.Array, interpret: bool = False,
                    static_argnames=("interpret", "tile", "block", "mirror"))
 def weighted_gram_tiled(Jt: jax.Array, h: jax.Array, interpret: bool = False,
                         tile: int = 512, block: int = 2048,
-                        mirror: bool = False) -> jax.Array:
-    """weighted_gram over a PRE-TILED (n, rows, tile) operand. h: (rows,)."""
+                        mirror: bool = False, acc=None) -> jax.Array:
+    """weighted_gram over a PRE-TILED (n, rows, tile) operand. h: (rows,).
+
+    acc: optional in-kernel chunk accumulator — see gram_pair_tiled."""
     CALLS["weighted_gram"] += 1
     n = Jt.shape[0]
     B = Jt.shape[1]
@@ -539,20 +607,27 @@ def weighted_gram_tiled(Jt: jax.Array, h: jax.Array, interpret: bool = False,
     Jt, Bp = _pad_rows3(Jt, BS)
     h2 = jnp.pad(h, (0, Bp - B)).reshape(Bp, 1).astype(jnp.float32)
     Dp = n * tile
+    operands = [h2, Jt, Jt]
+    in_specs = [
+        pl.BlockSpec((BS, 1), lambda k, i, b: (b, 0)),
+        pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
+        pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
+    ]
+    kernel = _weighted_kernel_tiled
+    if acc is not None:
+        assert not mirror, "acc accumulates raw; mirror once after the scan"
+        operands = [acc] + operands
+        in_specs = [pl.BlockSpec((tile, tile),
+                                 lambda k, i, b: _pq(k, i, n))] + in_specs
+        kernel = _make_weighted_kernel_tiled_acc(n)
     A = pl.pallas_call(
-        _weighted_kernel_tiled,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
         grid=(_packed_nk(n), n, Bp // BS),
-        in_specs=[
-            pl.BlockSpec((BS, 1), lambda k, i, b: (b, 0)),
-            pl.BlockSpec((1, BS, tile),
-                         lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
-            pl.BlockSpec((1, BS, tile),
-                         lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n)),
         interpret=interpret,
-    )(h2, Jt, Jt)
+    )(*operands)
     if mirror:
         A = jnp.triu(A) + jnp.triu(A, 1).T
     return A
