@@ -819,6 +819,47 @@ class Network:
                     Hf = hess.reshape(S_sz, C_sz, C_sz)
                     Jop = Jf if gd is None else Jf.astype(gd)
                     Hop = Hf if gd is None else Hf.astype(gd)
+                    out_sizes = tuple(t.axis_size[a] for a in out_axes)
+                    rest_sizes = tuple(t.axis_size[a] for a in rest)
+                    if (self.use_pallas and self.mesh is None
+                            and os.environ.get("TNF_OWNOUT_KERNEL") == "1"
+                            and DJ >= int(os.environ.get(
+                                "TNF_OWNOUT_KERNEL_MIN_DJ", "256"))):
+                        # fused class-pair kernel: the H weighting loads
+                        # inside the kernel (no (S, C², DJ) K4 in HBM) and
+                        # only the C(C+1)/2 upper class blocks are computed
+                        # (A[c',.,c,.] = A[c,.,c',.]ᵀ over d — one mirror
+                        # after). ops/pallas/gram.py::own_out_gram.
+                        # OPT-IN (TNF_OWNOUT_KERNEL=1): measured SLOWER than
+                        # the structured dot at the flagship A1 (25 vs 22
+                        # ms/chunk) — the structured form's Kronecker
+                        # factorisation already does 4.5x fewer FLOPs than
+                        # a syrk, and at DJ=900 the kernel's 180-point grid
+                        # is overhead-bound. Kept for high-C / large-DJ
+                        # own-out nodes where the C(C+1)/2 saving can win.
+                        from ..ops.pallas.gram import (
+                            _on_tpu, mirror_own_out, own_out_gram,
+                            plan_tiles, retile_rows)
+                        tile_, block_, nd_, _ = plan_tiles(
+                            DJ, jnp.dtype(Jop.dtype).itemsize)
+                        Jt = retile_rows(Jop, nd_, tile_)
+                        A4 = own_out_gram(Jt, Hf, C_sz,
+                                          interpret=not _on_tpu(),
+                                          tile=tile_, block=block_)
+                        A4 = mirror_own_out(A4)[:, :, :DJ, :DJ]
+                        A5 = A4.reshape(out_sizes + out_sizes
+                                        + rest_sizes + rest_sizes)
+                        O, R = len(out_axes), len(rest)
+                        upos = {a: i for i, a in enumerate(out_axes)}
+                        upos.update({a: 2 * O + j
+                                     for j, a in enumerate(rest)})
+                        ppos = {a: O + i for i, a in enumerate(out_axes)}
+                        ppos.update({a: 2 * O + R + j
+                                     for j, a in enumerate(rest)})
+                        perm_out = ([upos[a] for a in node_axes]
+                                    + [ppos[a] for a in node_axes])
+                        return (jnp.transpose(A5, perm_out)
+                                .astype(J_arr.dtype), b)
                     K4 = Hop[:, :, :, None] * Jop[:, None, None, :]
                     dot_prec = (self.precision if gd is None
                                 else jax.lax.Precision.DEFAULT)
@@ -827,8 +868,6 @@ class Network:
                         (((0,), (0,)), ((), ())),
                         precision=dot_prec,
                         preferred_element_type=J_arr.dtype)
-                    out_sizes = tuple(t.axis_size[a] for a in out_axes)
-                    rest_sizes = tuple(t.axis_size[a] for a in rest)
                     A5 = A_raw.reshape(out_sizes + out_sizes
                                        + rest_sizes + rest_sizes)
                     # computed axis order: (out..., out'..., rest..., rest');

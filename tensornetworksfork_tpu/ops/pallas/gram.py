@@ -592,6 +592,86 @@ def gram_pair_tiled(J1t: jax.Array, J2t: jax.Array, interpret: bool = False,
     return A
 
 
+def _make_own_out_kernel():
+    def kernel(h_ref, j1_ref, j2_ref, out_ref):
+        w = h_ref[0]  # (BS, 1) — H[s, p, q] for this grid point's class pair
+        jw = (j1_ref[0] * w).astype(j1_ref.dtype)
+        t = _gram_dot(jw, j2_ref[0])
+
+        @pl.when(pl.program_id(4) == 0)
+        def _():
+            out_ref[0, 0] = t
+
+        @pl.when(pl.program_id(4) != 0)
+        def _():
+            out_ref[0, 0] = out_ref[0, 0] + t
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("C", "interpret", "tile", "block"))
+def own_out_gram(Jt: jax.Array, H: jax.Array, C: int,
+                 interpret: bool = False, tile: int = 512,
+                 block: int = 2048) -> jax.Array:
+    """Output-owning-node Gram: A[c,d,c',d'] = Σ_s H[s,c,c'] J[s,d] J[s,d'].
+
+    Jt: PRE-TILED (nd, S, tile) Jacobian slabs (no output axes — the node
+    owns them all); H: (S, C, C) per-sample Hessian, symmetric per sample
+    (Bregman/Gauss-Newton contract). Returns RAW (C, C, Dp, Dp) f32 with
+    class-pair blocks c <= c' valid and the strictly-lower pairs UNDEFINED
+    — A[c',.,c,.] = A[c,.,c',.]ᵀ(d↔d'), so the caller mirrors with one
+    transpose(1,0,3,2) + where.
+
+    vs the structured K=H*J + dot path (engine.gram_and_rhs): the H
+    weighting is fused into the kernel load (no (S, C², DJ) K4 ever hits
+    HBM) and only C(C+1)/2 of the C² class blocks are computed — the
+    round-robin class-pair map is the same trick as the packed syrk grid.
+    Even C: the duplicate distance-C/2 visits recompute the same block
+    (b==0 resets), costing ~1/C redundancy, no masking."""
+    CALLS["weighted_gram"] += 1
+    nd, S = Jt.shape[0], Jt.shape[1]
+    BS = min(S, block)
+    Jt, Sp = _pad_rows3(Jt, BS)
+    # H as (C*C, Sp, 1): the class-pair index leads so the (1, BS, 1)
+    # block obeys Mosaic's minor-dims tiling rule ((BS, 1) blocks of an
+    # (S, C*C) layout do not)
+    H2 = jnp.transpose(H.reshape(S, C * C)).astype(jnp.float32)
+    if Sp != S:
+        H2 = jnp.pad(H2, ((0, 0), (0, Sp - S)))
+    H2 = H2[:, :, None]
+    Dp = nd * tile
+    kk = C // 2 + 1
+
+    def _hidx(k, c, i, j, b):
+        p, q = _pq(k, c, C)
+        return (p * C + q, b, 0)
+
+    A = pl.pallas_call(
+        _make_own_out_kernel(),
+        out_shape=jax.ShapeDtypeStruct((C, C, Dp, Dp), jnp.float32),
+        grid=(kk, C, nd, nd, Sp // BS),
+        in_specs=[
+            pl.BlockSpec((1, BS, 1), _hidx),
+            pl.BlockSpec((1, BS, tile), lambda k, c, i, j, b: (i, b, 0)),
+            pl.BlockSpec((1, BS, tile), lambda k, c, i, j, b: (j, b, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tile, tile),
+            lambda k, c, i, j, b: (*_pq(k, c, C), i, j)),
+        interpret=interpret,
+    )(H2, Jt, Jt)
+    return A
+
+
+def mirror_own_out(A4: jax.Array) -> jax.Array:
+    """Fill the strictly-lower class-pair blocks of a raw own_out_gram
+    output: A[c',.,c,.] = A[c,.,c',.] with the d axes swapped."""
+    C = A4.shape[0]
+    iu = (jnp.arange(C)[:, None] <= jnp.arange(C)[None, :])
+    return jnp.where(iu[:, :, None, None], A4,
+                     jnp.transpose(A4, (1, 0, 3, 2)))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "block", "mirror"))
 def weighted_gram_tiled(Jt: jax.Array, h: jax.Array, interpret: bool = False,

@@ -257,3 +257,46 @@ def test_packed_gram_syrk_route_matches_dot(monkeypatch):
             np.testing.assert_allclose(np.asarray(b_syr), np.asarray(b_dot),
                                        rtol=2e-4, atol=2e-4)
     assert checked >= 2
+
+
+def test_own_out_kernel_matches_dot_path(monkeypatch):
+    """The fused class-pair own-out Gram kernel (own_out_gram) must equal
+    the structured K=H*J dot path on an output-owning node (conv-TT A1).
+    The kernel is opt-in (slower than the structured dot at flagship A1,
+    engine.gram_and_rhs comment) but must stay correct."""
+    monkeypatch.setenv("TNF_OWNOUT_KERNEL", "1")
+    monkeypatch.setenv("TNF_OWNOUT_KERNEL_MIN_DJ", "16")
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    layer = TensorConvolutionTrainLayer(
+        num_carriages=3, bond_dim=4, num_patches=10, patch_pixels=5,
+        output_shape=(3,), convolution_bond=2, seed=0)
+    t = layer.network.topology
+    net_dot = Network(t, use_pallas=False)
+    net_ker = Network(t, use_pallas=True)
+    ni = t.by_name["A1"]
+    ci = t.col_of[ni]
+    rng = np.random.default_rng(0)
+    B = 32
+    x = {t.nodes[nj].name: jnp.asarray(rng.standard_normal(
+            (B,) + tuple(d for d in t.nodes[nj].shape if d is not None)),
+            jnp.float32) for nj in t.input_nodes}
+    inputs = net_dot.bind_inputs(x)
+    envs_l = net_dot.env_chain(layer.params, inputs, "left")
+    envs_r = net_dot.env_chain(layer.params, inputs, "right")
+    L = envs_l[ci - 1] if ci > 0 else None
+    R = envs_r[ci + 1] if ci < len(t.columns) - 1 else None
+    J = net_dot.jacobian(ni, layer.params, inputs, L, R)
+    core = layer.params[t.nodes[ni].name]
+    pred = net_dot.predict_from_jacobian(ni, J, core)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, B)])
+    _, g, H = XEBregman(w=1.0)(pred, y)
+    A_dot, b_dot = net_dot.gram_and_rhs(ni, J, g, H)
+    A_ker, b_ker = net_ker.gram_and_rhs(ni, J, g, H)
+    np.testing.assert_allclose(np.asarray(A_ker), np.asarray(A_dot),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_ker), np.asarray(b_dot),
+                               rtol=1e-5, atol=1e-6)
