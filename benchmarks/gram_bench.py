@@ -13,9 +13,13 @@ variants: curr | flat | chol | kbuild | kbuild2[def] |
           pallas<tile>[b<block>][sym][bf16]  (e.g. pallas512sym,
           pallas1024b256bf16)
 
-Measured (v5e, B=2048 C=9 D=16200, 2026-08): curr 366ms | pallas512 383 |
-pallas512sym 296 | pallas512bf16 136 | pallas768bf16 129 | chol 106 |
-kbuild 54. tile=1024 exceeds the 16MB VMEM limit at block 512.
+Measured (v5e, B=2048 C=9 D=16200, 2026-08, single-call timings INCLUDING
+the ~31 ms axon dispatch RTT): curr 366ms | pallas512 383 | pallas512sym
+296 | pallas512bf16 136 | pallas768bf16 129 | chol 106 | kbuild 54.
+Round-3 slope-timed (RTT excluded): XLA flat dot bf16 52.8 ms | packed
+grid (gram_pair symmetric) 42.6; `tiledbf16` runs the production route
+(retile + slab K build + packed-tiled kernel, raw output). tile=1024
+exceeds VMEM at block 512.
 """
 import os
 import sys
@@ -43,6 +47,26 @@ def timeit(fn, *args, reps=3):
         fetch(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
+
+
+def slope_timeit(fn, *args, n1=2, n2=12):
+    """RTT-free timing: N back-to-back async dispatches + ONE fetch, two
+    values of N, slope. A single dispatch+fetch costs ~31 ms of axon tunnel
+    round-trip, which dominates single-call timings of sub-100 ms ops
+    (CLAUDE.md) — timeit() numbers here include that constant."""
+    fetch(fn(*args))  # compile + warm
+
+    def run(n):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                a = fn(*args)
+            fetch(a)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (run(n2) - run(n1)) / (n2 - n1)
 
 
 def main():
@@ -141,13 +165,33 @@ def main():
             return jax.lax.dot_general(
                 H, J, (((1,), (1,)), ((0,), (0,))),
                 precision=jax.lax.Precision.DEFAULT)
+    elif variant.startswith("tiled"):
+        # the PRODUCTION single-chip route (engine.packed_gram_rhs): retile
+        # J once to (n, rows, tile) slabs feeding the slab-wise K build and
+        # the packed-tiled kernel (raw output, mirror deferred)
+        from tensornetworksfork_tpu.ops.pallas.gram import (
+            gram_pair_tiled, plan_tiles, retile_rows)
+        bf16 = variant.endswith("bf16")
+        op_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        kprec = jax.lax.Precision.DEFAULT if bf16 else prec
+        tile, block, n, Dp = plan_tiles(D, jnp.dtype(op_dtype).itemsize)
+
+        @jax.jit
+        def f(J, H):
+            Jt = retile_rows(J.astype(op_dtype).reshape(B * C, D), n, tile)
+            Kt = jnp.einsum("scd,nsdt->nsct", H.astype(op_dtype),
+                            Jt.reshape(n, B, C, tile),
+                            precision=kprec).reshape(n, B * C, tile)
+            return gram_pair_tiled(Jt, Kt, tile=tile, block=block)
     else:
         raise SystemExit(f"unknown variant {variant}")
 
     t = timeit(f, J, H)
+    ts = slope_timeit(f, J, H)
     flops = 2 * B * C * D * D + 2 * B * C * C * D
-    print(f"{variant}: B={B} C={C} D={D}  {t*1e3:.1f} ms  "
-          f"{flops/t/1e12:.1f} TFLOP/s")
+    print(f"{variant}: B={B} C={C} D={D}  single-call {t*1e3:.1f} ms "
+          f"(incl ~31 ms RTT) | slope {ts*1e3:.1f} ms  "
+          f"{flops/ts/1e12:.1f} TFLOP/s")
 
 
 if __name__ == "__main__":
