@@ -85,7 +85,8 @@ def _numeric_env_key():
             os.environ.get("TNF_PACKED_SYRK_MIN_D", "4096"),
             os.environ.get("TNF_AUX_PRECISION", ""),
             os.environ.get("TNF_OWNOUT_K_MAX_ELEMS", ""),
-            os.environ.get("TNF_FLAT_GRAM_MAX_UNROLL", ""))
+            os.environ.get("TNF_FLAT_GRAM_MAX_UNROLL", ""),
+            os.environ.get("TNF_FULLBATCH_MAX_BYTES", ""))
 
 
 class Member:
@@ -420,6 +421,62 @@ class Sweeper:
             if use_rest:
                 pieces["rest"] = y_rest
 
+            # Full-batch merge for small-D nodes: the flagship's 26-chunk
+            # lax.scan spends ~2 ms/iteration on launch + MXU-starved tiny
+            # einsums while a conv-node's whole Gram is <100 GFLOP. Merging
+            # all chunks into ONE scan step is a free reshape
+            # ((nc, B, ...) -> (1, nc*B, ...): leading dims contiguous);
+            # padding rows carry weight 0 so results match up to summation
+            # order. Skipped under a mesh (dim 1 is device-sharded), in
+            # gradient mode (sequential per-chunk update semantics), and
+            # when the full-batch J would exceed TNF_FULLBATCH_MAX_BYTES
+            # (default 512 MB; 0 disables the merge).
+            nc0 = y.shape[0]
+            merged = False
+            if net.mesh is None and not gradient_mode and nc0 > 1:
+                out_elems = 1
+                for d in y.shape[2:]:
+                    out_elems *= d
+                from ..ops.pallas.gram import gram_dtype
+                jbytes = (nc0 * y.shape[1] * out_elems * core.size
+                          * (2 if gram_dtype() is not None else 4))
+                cap_s = os.environ.get("TNF_FULLBATCH_MAX_BYTES", "")
+                cap = int(cap_s) if cap_s else 512 * 1024 * 1024
+                if 0 < jbytes <= cap:
+                    s_ax = t.sample_axis
+
+                    def _merge(a, spos):
+                        """(nc, ...) with the sample axis at piece dim
+                        `spos` -> (1, ...) with nc*B samples there. spos=0
+                        (data/y/w/rest) is a free contiguous reshape; env
+                        keeps are sample-LAST (layout discipline) and need
+                        the chunk axis moved next to the sample axis first
+                        (a small one-time copy, ~2*env bytes)."""
+                        if spos == 0:
+                            return a.reshape(
+                                (1, a.shape[0] * a.shape[1]) + a.shape[2:])
+                        perm = (list(range(1, spos + 1)) + [0, spos + 1]
+                                + list(range(spos + 2, a.ndim)))
+                        at = jnp.transpose(a, perm)
+                        shape = (at.shape[:spos]
+                                 + (at.shape[spos] * at.shape[spos + 1],)
+                                 + at.shape[spos + 2:])
+                        return at.reshape(shape)[None]
+
+                    for k in ("x",):
+                        pieces[k] = {n: _merge(v, 0)
+                                     for n, v in pieces[k].items()}
+                    for k in ("y", "w", "rest"):
+                        if k in pieces:
+                            pieces[k] = _merge(pieces[k], 0)
+                    if has_left:
+                        pieces["L"] = _merge(pieces["L"],
+                                             L_axes.index(s_ax))
+                    if has_right:
+                        pieces["R"] = _merge(pieces["R"],
+                                             R_axes.index(s_ax))
+                    merged = True
+
             def jac_ops(piece, prms):
                 Lop = (L_axes, piece["L"]) if has_left else None
                 Rop = (R_axes, piece["R"]) if has_right else None
@@ -508,6 +565,8 @@ class Sweeper:
                         return None, net.jacobian_apply(ni, ops, new_core)
 
                     _, preds = jax.lax.scan(body2i, None, pieces)
+                    if merged:  # restore the (nchunks, B, *out) layout
+                        preds = preds.reshape((nc0, -1) + preds.shape[2:])
                     pred_out = preds  # chunked (nchunks, B, *out)
                 return new_core, loss_sum, ok, pred_out, x_sol
 
@@ -605,6 +664,8 @@ class Sweeper:
                     return None, net.predict_from_jacobian(ni, J, new_core)
 
                 _, preds = jax.lax.scan(body2, None, pieces)
+                if merged:  # restore the (nchunks, B, *out) layout
+                    preds = preds.reshape((nc0, -1) + preds.shape[2:])
                 pred_out = preds  # chunked (nchunks, B, *out)
             return new_core, loss_sum, ok, pred_out, None
 

@@ -243,3 +243,47 @@ def test_env_history_reuse_with_gauges(monkeypatch):
     pred_b = np.asarray(l2.network.forward(p_fresh[0],
                                            l2.network.bind_inputs(X)))
     np.testing.assert_allclose(pred_a, pred_b, rtol=5e-3, atol=5e-3)
+
+
+def test_fullbatch_merge_matches_chunked(monkeypatch):
+    """Small-D nodes merge all chunks into one full-batch scan step
+    (TNF_FULLBATCH_MAX_BYTES gate). Results must match the chunked scan up
+    to accumulation order — same data, same programs, one launch."""
+    X, y = _problem(S=80)  # 80 samples, batch 32 -> 3 chunks with padding
+    cfg = SweepConfig(num_swipes=2, batch_size=32, eps=1e-4)
+
+    def run(cap):
+        monkeypatch.setenv("TNF_FULLBATCH_MAX_BYTES", cap)
+        layer = TensorTrainLayer(3, 4, 4, output_shape=(1,), seed=3)
+        sw = Sweeper(layer.network, SquareBregFunction(), cfg)
+        params, ok = sw.run([dict(layer.params)], X, y)
+        assert ok
+        return layer.network.forward(params[0],
+                                     layer.network.bind_inputs(X))
+
+    pred_merged = np.asarray(run(""))     # default cap: merge active
+    pred_chunked = np.asarray(run("0"))   # 0 disables the merge
+    np.testing.assert_allclose(pred_merged, pred_chunked,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fullbatch_merge_iterative_and_pred(monkeypatch):
+    """The merge also covers the matrix-free tier and the return_pred path
+    (type-I sums consume chunked predictions — layout must be restored)."""
+    X, y = _problem(S=80)
+    cfg = SweepConfig(num_swipes=2, batch_size=32, eps=1e-4,
+                      method="cg", max_iter=40)
+
+    def run(cap):
+        monkeypatch.setenv("TNF_FULLBATCH_MAX_BYTES", cap)
+        layer = TensorTrainLayer(3, 4, 4, output_shape=(1,), seed=4)
+        sw = Sweeper(layer.network, SquareBregFunction(), cfg)
+        params, ok = sw.run([dict(layer.params)], X, y)
+        assert ok
+        return layer.network.forward(params[0],
+                                     layer.network.bind_inputs(X))
+
+    pred_merged = np.asarray(run(""))
+    pred_chunked = np.asarray(run("0"))
+    np.testing.assert_allclose(pred_merged, pred_chunked,
+                               rtol=5e-4, atol=5e-4)
