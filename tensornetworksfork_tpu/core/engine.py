@@ -542,15 +542,34 @@ class Network:
             # (retiling per kernel operand measured a net LOSS: 72 -> 78
             # ms/chunk on the A2 update).
             from ..ops.pallas.gram import (_on_tpu, gram_pair_tiled,
-                                           plan_tiles, retile_rows,
-                                           weighted_gram_tiled)
+                                           plan_tiles, retile_hmix,
+                                           retile_rows, weighted_gram_tiled)
             interp = not _on_tpu()
             rows = S_sz * C_sz
             tile, block, n, Dp = plan_tiles(
                 D, jnp.dtype(J3.dtype).itemsize, acc=acc is not None)
-            Jt = retile_rows(J3.reshape(rows, D), n, tile)
+            # Fused retile+mix kernel (TNF_KMIX=0 reverts to the slab-wise
+            # XLA K einsum): one read of J produces class-major Jt AND
+            # Kt = H*J — XLA lowered the (S,C,C)x(S,C,D) mixing as an MXU
+            # batched matmul with C~9 padded to 128 (~14x wasted work,
+            # 8.8 ms/chunk at the flagship) where the kernel's unrolled VPU
+            # FMAs ride the retile's DMA. Rows come back (c, s)-ordered;
+            # the Gram/rhs contract over rows, so only g must reorder.
+            kmix = (not diag and C_sz > 1
+                    and os.environ.get("TNF_KMIX", "0") == "1")
+            if kmix:
+                Jt4, Kt4 = retile_hmix(
+                    J3.reshape(S_sz, C_sz, D),
+                    hess.reshape(S_sz, C_sz, C_sz), n, tile,
+                    interpret=interp)
+                Jt = Jt4.reshape(n, rows, tile)
+                Kt = Kt4.reshape(n, rows, tile)
+                gvec = jnp.transpose(g2).reshape(rows)  # class-major rows
+            else:
+                Jt = retile_rows(J3.reshape(rows, D), n, tile)
+                gvec = g2.reshape(rows)
             b = jax.lax.dot_general(
-                Jt, g2.reshape(rows).astype(J3.dtype),
+                Jt, gvec.astype(J3.dtype),
                 (((1,), (0,)), ((), ())),
                 precision=self.aux_precision,
                 preferred_element_type=jnp.float32).reshape(Dp)[:D]
@@ -561,6 +580,9 @@ class Network:
                     Jt, hess.reshape(rows).astype(jnp.float32),
                     interpret=interp, tile=tile, block=block,
                     mirror=mirror, acc=acc)
+            elif kmix:
+                A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
+                                    block=block, mirror=mirror, acc=acc)
             else:
                 H2 = hess.reshape(S_sz, C_sz, C_sz).astype(J3.dtype)
                 # K slab-wise from the tiled J: class mixing acts on the

@@ -562,6 +562,107 @@ def retile_rows(Jf: jax.Array, n: int, tile: int) -> jax.Array:
     return _retile(Jf, n, tile)
 
 
+def _kmix_block(S: int, C: int, tile: int, itemsize: int) -> int:
+    """Sample-block rows for the fused retile+hmix kernel: the largest
+    power-of-two divisor of S whose three (BS, C, tile) blocks (input J,
+    output Jt, output Kt — all multi-buffered) fit the VMEM budget."""
+    BS = 512
+    while BS > 8 and (S % BS or 3 * 3 * BS * C * tile * itemsize
+                      > VMEM_BUDGET):
+        BS //= 2
+    return BS
+
+
+def _make_retile_hmix_kernel(C: int):
+    def kernel(h_ref, j_ref, jt_ref, kt_ref):
+        j = j_ref[...]      # (BS, C, tile) — C on sublanes
+        h = h_ref[...]      # (C, C, BS, 1) f32 — (BS, 1) rows lane-broadcast
+        # hoist the per-class slices: each is a sublane relayout
+        # (BS, C, tile) -> (BS, tile); reused C times by the mix below
+        js = [j[:, d, :] for d in range(C)]
+        jf = [x.astype(jnp.float32) for x in js]
+        for c in range(C):
+            jt_ref[0, c] = js[c]
+            acc = h[c, 0] * jf[0]
+            for d in range(1, C):
+                acc += h[c, d] * jf[d]
+            kt_ref[0, c] = acc.astype(kt_ref.dtype)
+    return kernel
+
+
+def retile_hmix(J3: jax.Array, H: jax.Array, n: int, tile: int,
+                interpret: bool = False):
+    """Fused class-major retile + Hessian class mixing.
+
+    J3: (S, C, D) packed Jacobian; H: (S, C, C) per-sample Hessian (f32).
+    Returns (Jt, Kt), both (n, C, S, tile) in J3's dtype with
+    K[s,c] = sum_d H[s,c,d] J[s,d] and D padded to n*tile.
+
+    Replaces retile_rows + the slab-wise K einsum on the engine's tiled
+    Gram path: XLA lowers the (S,C,C)x(S,C,D) class mixing as an MXU
+    batched matmul with C (~9) padded to 128 — ~14x wasted MXU work,
+    measured 8.8 ms/chunk at the flagship — while this kernel does the
+    C^2 mixing as unrolled VPU FMAs DURING the retile's single read of J
+    (mix in f32, one rounding on store). Rows come back CLASS-major
+    ((c, s) instead of (s, c)): the Gram and rhs contract over rows, so
+    any order is valid as long as J, K and g agree — engine.packed_gram_rhs
+    reorders g to match. The tail tile (D % tile columns) is built by XLA
+    and spliced in, like retile_rows."""
+    S, C, D = J3.shape
+    Dp = n * tile
+    nfull = D // tile
+    BS = _kmix_block(S, C, tile, jnp.dtype(J3.dtype).itemsize)
+    Hc = jnp.transpose(H.astype(jnp.float32), (1, 2, 0))  # (C, C, S)
+    use_kernel = (_on_tpu() or interpret) and nfull > 0 and S % BS == 0
+    if use_kernel:
+        Jt, Kt = pl.pallas_call(
+            _make_retile_hmix_kernel(C),
+            out_shape=(jax.ShapeDtypeStruct((n, C, S, tile), J3.dtype),
+                       jax.ShapeDtypeStruct((n, C, S, tile), J3.dtype)),
+            grid=(nfull, S // BS),
+            in_specs=[
+                # trailing size-1 lane dim: (BS, 1) H rows lane-broadcast
+                # against (BS, tile) with no in-kernel transpose (the
+                # own_out_gram H layout trick)
+                pl.BlockSpec((C, C, BS, 1), lambda i, b: (0, 0, b, 0)),
+                pl.BlockSpec((BS, C, tile), lambda i, b: (b, 0, i)),
+            ],
+            out_specs=(pl.BlockSpec((1, C, BS, tile),
+                                    lambda i, b: (i, 0, b, 0)),
+                       pl.BlockSpec((1, C, BS, tile),
+                                    lambda i, b: (i, 0, b, 0))),
+            interpret=interpret,
+        )(Hc[..., None], J3)
+        if nfull == n:
+            return Jt, Kt
+        tail = J3[:, :, nfull * tile:]
+    else:
+        tail = J3 if nfull == 0 else None
+    # XLA path: the ragged tail tile (or, off-TPU/odd-S, everything)
+    def _cm(block, off, JT, KT):
+        pad = tile - block.shape[2] % tile if block.shape[2] % tile else 0
+        nb = (block.shape[2] + pad) // tile
+        jb = jnp.pad(block, ((0, 0), (0, 0), (0, pad)))
+        kb = jnp.einsum("cds,sdt->cst", Hc, jb).astype(J3.dtype)
+        jcm = jnp.transpose(jb, (1, 0, 2))
+        jt = jnp.transpose(jcm.reshape(C, S, nb, tile), (2, 0, 1, 3))
+        kt = jnp.transpose(kb.reshape(C, S, nb, tile), (2, 0, 1, 3))
+        if JT is None:
+            return jt, kt
+        return (jax.lax.dynamic_update_slice(JT, jt, (off, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(KT, kt, (off, 0, 0, 0)))
+    if use_kernel:
+        return _cm(tail, nfull, Jt, Kt)
+    Jt = jnp.zeros((n, C, S, tile), J3.dtype)
+    Kt = jnp.zeros((n, C, S, tile), J3.dtype)
+    if nfull > 0:
+        Jt, Kt = _cm(J3[:, :, :nfull * tile], 0, Jt, Kt)
+        if nfull < n:
+            Jt, Kt = _cm(J3[:, :, nfull * tile:], nfull, Jt, Kt)
+        return Jt, Kt
+    return _cm(J3, 0, Jt, Kt)
+
+
 def _pad_rows3(x: jax.Array, BS: int):
     B = x.shape[1]
     Bp = ((B + BS - 1) // BS) * BS

@@ -300,3 +300,75 @@ def test_own_out_kernel_matches_dot_path(monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(b_ker), np.asarray(b_dot),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_retile_hmix_matches_reference():
+    """Fused retile+class-mix kernel: (Jt, Kt) must equal the class-major
+    transpose of J and of K = H*J, for the kernel grid (interpret), the
+    ragged-tail splice, and the pure-jnp fallback (odd S)."""
+    from tensornetworksfork_tpu.ops.pallas.gram import retile_hmix
+
+    rng = np.random.default_rng(7)
+    for S, C, D, tile in ((32, 3, 300, 128),   # kernel + tail splice
+                          (32, 4, 256, 128),   # kernel, exact tiles
+                          (17, 3, 90, 128)):   # jnp fallback (S odd, D<tile)
+        n = (D + tile - 1) // tile
+        Dp = n * tile
+        J3 = jnp.asarray(rng.standard_normal((S, C, D)), jnp.float32)
+        H = rng.standard_normal((S, C, C)).astype(np.float32)
+        H = jnp.asarray(H + np.transpose(H, (0, 2, 1)))  # symmetric/sample
+        Jt, Kt = retile_hmix(J3, H, n, tile, interpret=True)
+        assert Jt.shape == (n, C, S, tile) and Kt.shape == (n, C, S, tile)
+        Jp = np.zeros((S, C, Dp), np.float32)
+        Jp[:, :, :D] = np.asarray(J3)
+        K_ref = np.einsum("scd,sdt->sct", np.asarray(H), Jp)
+        Jt_ref = np.transpose(Jp.reshape(S, C, n, tile), (2, 1, 0, 3))
+        Kt_ref = np.transpose(K_ref.reshape(S, C, n, tile), (2, 1, 0, 3))
+        np.testing.assert_allclose(np.asarray(Jt), Jt_ref, rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Kt), Kt_ref, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_kmix_engine_route_matches_xla(monkeypatch):
+    """packed_gram_rhs with the fused kmix kernel (default) must equal the
+    slab-wise XLA K-build route (TNF_KMIX=0) at a D > tile shape that takes
+    the in-interpret kernel grid."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    monkeypatch.setenv("TNF_PALLAS_TILE", "128")
+    layer = TensorConvolutionTrainLayer(3, 6, 12, 4, output_shape=(4,),
+                                        convolution_bond=3, seed=1)
+    t = layer.topology
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((32, 12, 4)), jnp.float32)
+    y = jnp.asarray(np.eye(5, dtype=np.float32)[rng.integers(0, 5, 32)])
+    params = layer.params
+    net = Network(t, use_pallas=True)
+    inputs = net.bind_inputs(x)
+    envs_l = net.env_chain(params, inputs, "left")
+    envs_r = net.env_chain(params, inputs, "right")
+    checked = 0
+    for ni in t.train_nodes:
+        ci = t.col_of[ni]
+        L = envs_l[ci - 1] if ci > 0 else None
+        R = envs_r[ci + 1] if ci < len(t.columns) - 1 else None
+        pj = net.packed_jacobian(ni, params, inputs, L, R)
+        if pj is None or pj["a0_sz"] * pj["r_sz"] <= 128:
+            continue
+        checked += 1
+        pred = net.packed_predict(pj, params[t.nodes[ni].name])
+        _, g, H = XEBregman(w=1.0)(pred, y)
+        monkeypatch.setenv("TNF_KMIX", "0")
+        A_xla, b_xla = net.packed_gram_rhs(pj, g, H)
+        monkeypatch.setenv("TNF_KMIX", "1")
+        A_ker, b_ker = net.packed_gram_rhs(pj, g, H)
+        np.testing.assert_allclose(np.asarray(A_ker), np.asarray(A_xla),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(b_ker), np.asarray(b_xla),
+                                   rtol=2e-4, atol=2e-4)
+    assert checked >= 1
