@@ -532,8 +532,18 @@ class Network:
                       and (gd is None or _packed_enabled())
                       and D >= int(os.environ.get("TNF_PACKED_SYRK_MIN_D",
                                                   "4096")))
-        if use_kernel and self.mesh is None:
-            # Single-chip fast path: retile J ONCE to (n, rows, tile) slabs
+        mesh_tiled = False
+        if use_kernel and self.mesh is not None and acc is None:
+            # The tiled pipeline runs under shard_map when every shard holds
+            # WHOLE samples (the class rows of a sample must stay together
+            # for the K mix and the symmetric mirror): each device retiles
+            # and grams its local rows at single-chip kernel throughput and
+            # the raw partial (A, b) are psum'd — the same sharded
+            # accumulation GSPMD performs for the XLA dot paths.
+            ndev = dict(self.mesh.shape).get(self.mesh_axis, 0)
+            mesh_tiled = ndev > 0 and S_sz % ndev == 0
+        if use_kernel and (self.mesh is None or mesh_tiled):
+            # Tiled fast path: retile J ONCE to (n, rows, tile) slabs
             # and feed the SAME tiled array to the rhs dot, the K build and
             # the Gram kernel — tiled slab reads realize ~650 GB/s vs ~480
             # for (BS, tile) blocks of the row-major J (kernel 42.6 ->
@@ -545,9 +555,9 @@ class Network:
                                            plan_tiles, retile_hmix,
                                            retile_rows, weighted_gram_tiled)
             interp = not _on_tpu()
-            rows = S_sz * C_sz
             tile, block, n, Dp = plan_tiles(
                 D, jnp.dtype(J3.dtype).itemsize, acc=acc is not None)
+            mirror = not defer_mirror and acc is None
             # Fused retile+mix kernel (TNF_KMIX=0 reverts to the slab-wise
             # XLA K einsum): one read of J produces class-major Jt AND
             # Kt = H*J — XLA lowered the (S,C,C)x(S,C,D) mixing as an MXU
@@ -557,41 +567,72 @@ class Network:
             # the Gram/rhs contract over rows, so only g must reorder.
             kmix = (not diag and C_sz > 1
                     and os.environ.get("TNF_KMIX", "0") == "1")
-            if kmix:
-                Jt4, Kt4 = retile_hmix(
-                    J3.reshape(S_sz, C_sz, D),
-                    hess.reshape(S_sz, C_sz, C_sz), n, tile,
-                    interpret=interp)
-                Jt = Jt4.reshape(n, rows, tile)
-                Kt = Kt4.reshape(n, rows, tile)
-                gvec = jnp.transpose(g2).reshape(rows)  # class-major rows
+
+            def tiled(J3s, g2s, hess_s, acc_s):
+                Ss = J3s.shape[0]
+                rows = Ss * C_sz
+                if kmix:
+                    Jt4, Kt4 = retile_hmix(
+                        J3s, hess_s.reshape(Ss, C_sz, C_sz), n, tile,
+                        interpret=interp)
+                    Jt = Jt4.reshape(n, rows, tile)
+                    Kt = Kt4.reshape(n, rows, tile)
+                    gvec = jnp.transpose(  # class-major rows
+                        g2s.reshape(Ss, C_sz)).reshape(rows)
+                else:
+                    Jt = retile_rows(J3s.reshape(rows, D), n, tile)
+                    gvec = g2s.reshape(rows)
+                b = jax.lax.dot_general(
+                    Jt, gvec.astype(J3s.dtype),
+                    (((1,), (0,)), ((), ())),
+                    precision=self.aux_precision,
+                    preferred_element_type=jnp.float32).reshape(Dp)[:D]
+                if diag:
+                    # fused weighting: the H-weighted copy of J never hits
+                    # HBM
+                    A = weighted_gram_tiled(
+                        Jt, hess_s.reshape(rows).astype(jnp.float32),
+                        interpret=interp, tile=tile, block=block,
+                        mirror=mirror, acc=acc_s)
+                elif kmix:
+                    A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
+                                        block=block, mirror=mirror,
+                                        acc=acc_s)
+                else:
+                    H2 = hess_s.reshape(Ss, C_sz, C_sz).astype(J3s.dtype)
+                    # K slab-wise from the tiled J: class mixing acts on the
+                    # rows axis, so tiling D commutes with the K build
+                    Kt = jnp.einsum(
+                        "scd,nsdt->nsct", H2, Jt.reshape(n, Ss, C_sz, tile),
+                        precision=dot_prec).reshape(n, rows, tile)
+                    A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
+                                        block=block, mirror=mirror,
+                                        acc=acc_s)
+                return A, b
+
+            J3v = J3.reshape(S_sz, C_sz, D)
+            if mesh_tiled:
+                from jax.sharding import PartitionSpec as P
+                try:
+                    from jax import shard_map
+                    kw = {"check_vma": False}
+                except ImportError:  # older jax name
+                    from jax.experimental.shard_map import shard_map
+                    kw = {"check_rep": False}
+                ax = self.mesh_axis
+
+                def local(J3s, g2s, hess_s):
+                    A, b = tiled(J3s, g2s, hess_s, None)
+                    return (jax.lax.psum(A[:D, :D], ax),
+                            jax.lax.psum(b, ax))
+
+                A, b = shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax), P(ax)),
+                    out_specs=(P(), P()), **kw)(
+                        J3v, g2.reshape(S_sz, C_sz), hess)
             else:
-                Jt = retile_rows(J3.reshape(rows, D), n, tile)
-                gvec = g2.reshape(rows)
-            b = jax.lax.dot_general(
-                Jt, gvec.astype(J3.dtype),
-                (((1,), (0,)), ((), ())),
-                precision=self.aux_precision,
-                preferred_element_type=jnp.float32).reshape(Dp)[:D]
-            mirror = not defer_mirror and acc is None
-            if diag:
-                # fused weighting: the H-weighted copy of J never hits HBM
-                A = weighted_gram_tiled(
-                    Jt, hess.reshape(rows).astype(jnp.float32),
-                    interpret=interp, tile=tile, block=block,
-                    mirror=mirror, acc=acc)
-            elif kmix:
-                A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
-                                    block=block, mirror=mirror, acc=acc)
-            else:
-                H2 = hess.reshape(S_sz, C_sz, C_sz).astype(J3.dtype)
-                # K slab-wise from the tiled J: class mixing acts on the
-                # rows axis, so tiling D commutes with the K build
-                Kt = jnp.einsum(
-                    "scd,nsdt->nsct", H2, Jt.reshape(n, S_sz, C_sz, tile),
-                    precision=dot_prec).reshape(n, rows, tile)
-                A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
-                                    block=block, mirror=mirror, acc=acc)
+                A, b = tiled(J3v, g2, hess, acc)
             if acc is not None:
                 # A is the updated PADDED (Dp, Dp) raw carry: acc + this
                 # chunk's contribution, accumulated inside the kernel.

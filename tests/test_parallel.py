@@ -224,3 +224,33 @@ def test_inputless_member_mesh_with_pallas_no_crash():
     # the fitted function must agree
     np.testing.assert_allclose(pred_mesh, pred_single, rtol=5e-3, atol=5e-3)
     assert float(np.sqrt(np.mean((pred_single - y) ** 2))) < 0.1
+
+
+def test_mesh_tiled_kmix_matches_single(monkeypatch):
+    """The tiled pipeline (retile + packed grid, and the fused kmix kernel)
+    now runs under a 1-D data mesh via shard_map — per-shard tiled kernels
+    with a psum on the raw (A, b). Sharded == single-device."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    monkeypatch.setenv("TNF_KMIX", "1")
+    layer = TensorConvolutionTrainLayer(2, 3, 4, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=1)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((32, 4, 5)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 32)])
+    cfg = SweepConfig(num_swipes=1, batch_size=16, method="ridge_cholesky",
+                      eps=0.5)
+    p_single, ok1 = Sweeper(Network(layer.topology, use_pallas=True),
+                            XEBregman(w=1.0), cfg).run([layer.params], x, y)
+    net = Network(layer.topology, use_pallas=True)
+    p_mesh, ok2 = Sweeper(net, XEBregman(w=1.0), cfg).run(
+        [layer.params], x, y, mesh=make_mesh(8))
+    assert ok1 and ok2
+    for k in p_single[0]:
+        np.testing.assert_allclose(np.asarray(p_mesh[0][k]),
+                                   np.asarray(p_single[0][k]),
+                                   rtol=5e-3, atol=5e-3)
