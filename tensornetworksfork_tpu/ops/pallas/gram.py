@@ -213,7 +213,7 @@ def _syrk_weighted_kernel(h_ref, j1_ref, j2_ref, out_ref):
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "block", "symmetric",
                                     "mirror"))
-def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
+def _weighted_gram_jit(J: jax.Array, h: jax.Array, interpret: bool = False,
                   tile: Optional[int] = None, block: Optional[int] = None,
                   symmetric: bool = True, mirror: bool = True) -> jax.Array:
     """A[d, e] = sum_s h[s] J[s, d] J[s, e].  J: (B, D), h: (B,).
@@ -223,7 +223,8 @@ def weighted_gram(J: jax.Array, h: jax.Array, interpret: bool = False,
     contrast needs a materialised K operand). Grid (D/T, D/T, B/BS): the
     sample-block axis is innermost so each output tile stays resident in
     VMEM across the reduction (revisit pattern)."""
-    CALLS["weighted_gram"] += 1
+    # (counter bumped in the public wrapper: a global jit-cache hit
+    # skips this body, so a trace-time counter here under-counts)
     if tile is None:
         tile = default_tile()
     if block is None:
@@ -427,9 +428,9 @@ def _syrk_kernel(j1_ref, j2_ref, out_ref):
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "block", "symmetric",
                                     "mirror"))
-def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
-              tile: Optional[int] = None, block: Optional[int] = None,
-              symmetric: bool = False, mirror: bool = True) -> jax.Array:
+def _gram_pair_jit(J1: jax.Array, J2: jax.Array, interpret: bool = False,
+                   tile: Optional[int] = None, block: Optional[int] = None,
+                   symmetric: bool = False, mirror: bool = True) -> jax.Array:
     """A[d, e] = sum_s J1[s, d] J2[s, e] — the full-Hessian Gram form: with
     J1 = J reshaped (B*C, D) and J2 = (H-weighted coeff) reshaped, this is
     the XE-path Gram accumulation (engine.gram_and_rhs full branch).
@@ -444,7 +445,8 @@ def gram_pair(J1: jax.Array, J2: jax.Array, interpret: bool = False,
     symmetric=True (valid when A is symmetric, i.e. J2 = W J1 with W
     symmetric — every Gauss-Newton Gram) computes only the upper-triangular
     tiles and mirrors them, halving MXU work."""
-    CALLS["gram_pair"] += 1
+    # (counter bumped in the public wrapper: a global jit-cache hit
+    # skips this body, so a trace-time counter here under-counts)
     if tile is None:
         tile = default_tile()
     if block is None:
@@ -673,9 +675,10 @@ def _pad_rows3(x: jax.Array, BS: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "block", "mirror"))
-def gram_pair_tiled(J1t: jax.Array, J2t: jax.Array, interpret: bool = False,
-                    tile: int = 512, block: int = 2048,
-                    mirror: bool = False, acc=None) -> jax.Array:
+def _gram_pair_tiled_jit(J1t: jax.Array, J2t: jax.Array,
+                         interpret: bool = False,
+                         tile: int = 512, block: int = 2048,
+                         mirror: bool = False, acc=None) -> jax.Array:
     """gram_pair(symmetric=True) over PRE-TILED (n, rows, tile) operands.
 
     Returns the full (n*tile, n*tile) A — callers slice [:D, :D]. mirror
@@ -686,7 +689,8 @@ def gram_pair_tiled(J1t: jax.Array, J2t: jax.Array, interpret: bool = False,
     `A_acc + A` pass (~3 GB of HBM traffic per chunk at D=16200) with an
     upper-tiles-only read folded into the kernel pipeline. Incompatible
     with mirror=True (the result stays raw)."""
-    CALLS["gram_pair"] += 1
+    # (counter bumped in the public wrapper: a global jit-cache hit
+    # skips this body, so a trace-time counter here under-counts)
     n = J1t.shape[0]
     BS = min(J1t.shape[1], block)
     J1t, Bp = _pad_rows3(J1t, BS)
@@ -735,9 +739,9 @@ def _make_own_out_kernel():
 
 @functools.partial(jax.jit,
                    static_argnames=("C", "interpret", "tile", "block"))
-def own_out_gram(Jt: jax.Array, H: jax.Array, C: int,
-                 interpret: bool = False, tile: int = 512,
-                 block: int = 2048) -> jax.Array:
+def _own_out_gram_jit(Jt: jax.Array, H: jax.Array, C: int,
+                      interpret: bool = False, tile: int = 512,
+                      block: int = 2048) -> jax.Array:
     """Output-owning-node Gram: A[c,d,c',d'] = Σ_s H[s,c,c'] J[s,d] J[s,d'].
 
     Jt: PRE-TILED (nd, S, tile) Jacobian slabs (no output axes — the node
@@ -753,7 +757,8 @@ def own_out_gram(Jt: jax.Array, H: jax.Array, C: int,
     round-robin class-pair map is the same trick as the packed syrk grid.
     Even C: the duplicate distance-C/2 visits recompute the same block
     (b==0 resets), costing ~1/C redundancy, no masking."""
-    CALLS["weighted_gram"] += 1
+    # (counter bumped in the public wrapper: a global jit-cache hit
+    # skips this body, so a trace-time counter here under-counts)
     nd, S = Jt.shape[0], Jt.shape[1]
     BS = min(S, block)
     Jt, Sp = _pad_rows3(Jt, BS)
@@ -799,13 +804,15 @@ def mirror_own_out(A4: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "block", "mirror"))
-def weighted_gram_tiled(Jt: jax.Array, h: jax.Array, interpret: bool = False,
-                        tile: int = 512, block: int = 2048,
-                        mirror: bool = False, acc=None) -> jax.Array:
+def _weighted_gram_tiled_jit(Jt: jax.Array, h: jax.Array,
+                             interpret: bool = False,
+                             tile: int = 512, block: int = 2048,
+                             mirror: bool = False, acc=None) -> jax.Array:
     """weighted_gram over a PRE-TILED (n, rows, tile) operand. h: (rows,).
 
     acc: optional in-kernel chunk accumulator — see gram_pair_tiled."""
-    CALLS["weighted_gram"] += 1
+    # (counter bumped in the public wrapper: a global jit-cache hit
+    # skips this body, so a trace-time counter here under-counts)
     n = Jt.shape[0]
     B = Jt.shape[1]
     BS = min(B, block)
@@ -836,3 +843,42 @@ def weighted_gram_tiled(Jt: jax.Array, h: jax.Array, interpret: bool = False,
     if mirror:
         A = jnp.triu(A) + jnp.triu(A, 1).T
     return A
+
+
+# Public entry points: thin non-jitted wrappers so the trace-time CALLS
+# counters fire on EVERY enclosing trace — the jitted bodies above are
+# skipped on a global jit-cache hit (same avals traced anywhere else in
+# the process), which made counter-based routing tests order-dependent.
+def weighted_gram(J, h, interpret=False, tile=None, block=None,
+                  symmetric=True, mirror=True):
+    CALLS["weighted_gram"] += 1
+    return _weighted_gram_jit(J, h, interpret=interpret, tile=tile,
+                              block=block, symmetric=symmetric,
+                              mirror=mirror)
+
+
+def gram_pair(J1, J2, interpret=False, tile=None, block=None,
+              symmetric=False, mirror=True):
+    CALLS["gram_pair"] += 1
+    return _gram_pair_jit(J1, J2, interpret=interpret, tile=tile,
+                          block=block, symmetric=symmetric, mirror=mirror)
+
+
+def gram_pair_tiled(J1t, J2t, interpret=False, tile=512, block=2048,
+                    mirror=False, acc=None):
+    CALLS["gram_pair"] += 1
+    return _gram_pair_tiled_jit(J1t, J2t, interpret=interpret, tile=tile,
+                                block=block, mirror=mirror, acc=acc)
+
+
+def own_out_gram(Jt, H, C, interpret=False, tile=512, block=2048):
+    CALLS["weighted_gram"] += 1
+    return _own_out_gram_jit(Jt, H, C, interpret=interpret, tile=tile,
+                             block=block)
+
+
+def weighted_gram_tiled(Jt, h, interpret=False, tile=512, block=2048,
+                        mirror=False, acc=None):
+    CALLS["weighted_gram"] += 1
+    return _weighted_gram_tiled_jit(Jt, h, interpret=interpret, tile=tile,
+                                    block=block, mirror=mirror, acc=acc)
