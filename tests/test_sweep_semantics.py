@@ -287,3 +287,33 @@ def test_fullbatch_merge_iterative_and_pred(monkeypatch):
     pred_chunked = np.asarray(run("0"))
     np.testing.assert_allclose(pred_merged, pred_chunked,
                                rtol=5e-4, atol=5e-4)
+
+
+def test_fullbatch_merge_in_sum_restores_pred_layout(monkeypatch):
+    """In a type-I sum the update returns chunked (nc, B, *out) predictions
+    that feed the other members' rest cache — the full-batch merge must
+    restore that layout. Merged sum sweep == merge-disabled sum sweep."""
+    from tensornetworksfork_tpu.core.sweep import Member
+
+    rng = np.random.default_rng(12)
+    S, f = 80, 4
+    X = jnp.asarray(np.concatenate(
+        [rng.standard_normal((S, f - 1)).astype(np.float32),
+         np.ones((S, 1), np.float32)], axis=1))
+    y = jnp.asarray((np.asarray(X[:, 0]) * np.asarray(X[:, 1])
+                     + 0.3 * np.asarray(X[:, 2])).reshape(S, 1))
+    cfg = SweepConfig(num_swipes=3, batch_size=32, eps=1e-4)
+
+    def run(cap):
+        monkeypatch.setenv("TNF_FULLBATCH_MAX_BYTES", cap)
+        la = TensorTrainLayer(2, 3, f, output_shape=(1,), seed=5)
+        lb = TensorTrainLayer(2, 3, f, output_shape=(1,), seed=6)
+        sw = Sweeper([Member(la.network), Member(lb.network)],
+                     SquareBregFunction(), cfg)
+        (pa, pb), ok = sw.run([dict(la.params), dict(lb.params)], X, y)
+        assert ok
+        return (np.asarray(la.network.forward(pa, la.network.bind_inputs(X)))
+                + np.asarray(lb.network.forward(pb,
+                                                lb.network.bind_inputs(X))))
+
+    np.testing.assert_allclose(run(""), run("0"), rtol=1e-4, atol=1e-4)
