@@ -565,8 +565,12 @@ class Network:
             # 8.8 ms/chunk at the flagship) where the kernel's unrolled VPU
             # FMAs ride the retile's DMA. Rows come back (c, s)-ordered;
             # the Gram/rhs contract over rows, so only g must reorder.
+            # Default ON since measured on the v5e at the flagship A2
+            # update: bf16 64 -> 63, f32 216 -> 211 ms/chunk (the fused
+            # kernel's VMEM-clamped sample block eats most of the 8.8 ms
+            # einsum saving, but it stays a net win at both dtypes).
             kmix = (not diag and C_sz > 1
-                    and os.environ.get("TNF_KMIX", "0") == "1")
+                    and os.environ.get("TNF_KMIX", "1") == "1")
 
             def tiled(J3s, g2s, hess_s, acc_s):
                 Ss = J3s.shape[0]

@@ -567,9 +567,14 @@ def retile_rows(Jf: jax.Array, n: int, tile: int) -> jax.Array:
 def _kmix_block(S: int, C: int, tile: int, itemsize: int) -> int:
     """Sample-block rows for the fused retile+hmix kernel: the largest
     power-of-two divisor of S whose three (BS, C, tile) blocks (input J,
-    output Jt, output Kt — all multi-buffered) fit the VMEM budget."""
+    output Jt, output Kt — multi-buffered) plus the kernel's hoisted f32
+    class slices fit the VMEM budget. The 16*itemsize bytes/element
+    coefficient is EMPIRICAL: at (BS=128, C=9, tile=512, bf16) Mosaic's
+    scoped allocation measured 18.62 MB = ~31.6 B per BS*C*tile element
+    (the 3*3*itemsize model undercounted 1.76x and OOM'd the 16 MB core
+    limit on hardware at the flagship shape)."""
     BS = 512
-    while BS > 8 and (S % BS or 3 * 3 * BS * C * tile * itemsize
+    while BS > 8 and (S % BS or 16 * BS * C * tile * itemsize
                       > VMEM_BUDGET):
         BS //= 2
     return BS
