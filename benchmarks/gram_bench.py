@@ -36,6 +36,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def fetch(x):
+    if isinstance(x, tuple):
+        return sum(float(jnp.sum(v)) for v in x)
     return float(jnp.sum(x))  # block_until_ready unreliable on axon
 
 
@@ -183,6 +185,66 @@ def main():
                             Jt.reshape(n, B, C, tile),
                             precision=kprec).reshape(n, B * C, tile)
             return gram_pair_tiled(Jt, Kt, tile=tile, block=block)
+    elif variant.startswith("kmixonly"):
+        # the fused retile+class-mix kernel alone (gram.retile_hmix)
+        from tensornetworksfork_tpu.ops.pallas.gram import (plan_tiles,
+                                                            retile_hmix)
+        bf16 = variant.endswith("bf16")
+        op_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        tile, block, n, Dp = plan_tiles(D, jnp.dtype(op_dtype).itemsize)
+
+        @jax.jit
+        def f(J, H):
+            return retile_hmix(J.astype(op_dtype), H, n, tile)
+    elif variant.startswith("retileonly"):
+        from tensornetworksfork_tpu.ops.pallas.gram import (plan_tiles,
+                                                            retile_rows)
+        bf16 = variant.endswith("bf16")
+        op_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        tile, block, n, Dp = plan_tiles(D, jnp.dtype(op_dtype).itemsize)
+
+        @jax.jit
+        def f(J, H):
+            return retile_rows(J.astype(op_dtype).reshape(B * C, D), n, tile)
+    elif variant.startswith("rhsonly"):
+        # the tiled rhs dot b = Jt^T g over the (n, rows, tile) slabs
+        from tensornetworksfork_tpu.ops.pallas.gram import (plan_tiles,
+                                                            retile_rows)
+        bf16 = variant.endswith("bf16")
+        op_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        tile, block, n, Dp = plan_tiles(D, jnp.dtype(op_dtype).itemsize)
+        Jt0 = retile_rows(J.astype(op_dtype).reshape(B * C, D), n, tile)
+        g0 = jnp.asarray(rng.standard_normal((B * C,)), op_dtype)
+
+        @jax.jit
+        def fr(Jt, g):
+            return jax.lax.dot_general(
+                Jt, g, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        t = timeit(fr, Jt0, g0)
+        ts = slope_timeit(fr, Jt0, g0)
+        print(f"{variant}: D={D}  single-call {t*1e3:.1f} ms | "
+              f"slope {ts*1e3:.1f} ms")
+        return
+    elif variant == "accadd":
+        # the per-chunk raw-A accumulator add at padded flagship size
+        from tensornetworksfork_tpu.ops.pallas.gram import plan_tiles
+        tile, block, n, Dp = plan_tiles(D, 2)
+        A0 = jnp.ones((Dp, Dp), jnp.float32)
+        A1 = jnp.full((Dp, Dp), 2.0, jnp.float32)
+
+        @jax.jit
+        def fa(a, b):
+            return a + b
+
+        t = timeit(fa, A0, A1)
+        ts = slope_timeit(fa, A0, A1)
+        gb = 3 * Dp * Dp * 4 / 1e9
+        print(f"accadd: Dp={Dp}  single-call {t*1e3:.1f} ms | slope "
+              f"{ts*1e3:.1f} ms  {gb/ts:.0f} GB/s")
+        return
     else:
         raise SystemExit(f"unknown variant {variant}")
 

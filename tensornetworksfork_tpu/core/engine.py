@@ -480,6 +480,23 @@ class Network:
                                  acc=True)
         return jnp.zeros((Dp, Dp), jnp.float32)
 
+    def packed_gram_pad(self, pj):
+        """(Dp, tile) of the tiled kernel route's PADDED raw A, or None when
+        that route won't be taken. defer_mirror callers that get a padded A
+        accumulate chunks with ops.pallas.gram.add_packed_upper — an add
+        that walks the kernels' (k, i) pair map and touches only the
+        visited upper tiles (measured 5.0 -> ~2.7 ms/chunk at D=16,200 vs
+        XLA's full-matrix add, which spends half its traffic on the
+        undefined lower triangle) — and slice [:D, :D] once after their
+        scan. tile is the grid's D-tile: the add must use the SAME pair
+        map as the kernel that produced the operands."""
+        if not self._packed_kernel_route(pj):
+            return None
+        from ..ops.pallas.gram import plan_tiles
+        D = pj["a0_sz"] * pj["r_sz"]
+        tile, _, _, Dp = plan_tiles(D, jnp.dtype(pj["arr"].dtype).itemsize)
+        return Dp, tile
+
     def packed_gram_rhs(self, pj, grad: jax.Array, hess: jax.Array,
                         defer_mirror: bool = False, acc=None):
         """A = Jᵀ H J, b = Jᵀ g on the packed Jacobian. Requires the out
@@ -641,6 +658,12 @@ class Network:
                 # A is the updated PADDED (Dp, Dp) raw carry: acc + this
                 # chunk's contribution, accumulated inside the kernel.
                 # Caller slices [:D, :D] and mirrors once after its scan.
+                return A, b, True
+            if defer_mirror and not mesh_tiled:
+                # PADDED (Dp, Dp) raw: the caller accumulates chunks with
+                # add_packed_upper (see packed_gram_pad) and slices
+                # [:D, :D] once after its scan — slicing here would force
+                # a full-matrix relayout copy per chunk for nothing.
                 return A, b, True
             A = A[:D, :D].astype(jnp.float32)
             if defer_mirror:

@@ -605,8 +605,16 @@ class Sweeper:
                 pj0 = jac_packed(probe, params)
                 A0 = net.packed_gram_acc_init(pj0) if pj0 is not None else None
                 in_kernel_acc = A0 is not None
+                # Padded-raw carry: the tiled kernel route returns the
+                # PADDED (Dp, Dp) raw A per chunk; accumulate with the
+                # upper-tiles-only Pallas add (engine.packed_gram_pad).
+                pad = (net.packed_gram_pad(pj0)
+                       if pj0 is not None and not in_kernel_acc else None)
                 if A0 is None:
-                    A0 = jnp.zeros((D, D), core.dtype)
+                    if pad is not None:
+                        A0 = jnp.zeros((pad[0], pad[0]), jnp.float32)
+                    else:
+                        A0 = jnp.zeros((D, D), core.dtype)
                 b0 = jnp.zeros((D,), core.dtype)
                 # Trace-time cell: packed_gram_rhs reports (static bool)
                 # whether its A chunks come back mirror-deferred — raw syrk
@@ -640,10 +648,16 @@ class Sweeper:
                         A, b = net.gram_and_rhs(ni, J, g, H)
                         A = A.reshape(D, D)
                         b = b.reshape(D)
+                    if pad is not None:
+                        from ..ops.pallas.gram import (_on_tpu,
+                                                       add_packed_upper)
+                        A_new = add_packed_upper(A_acc, A, tile=pad[1],
+                                                 interpret=not _on_tpu())
+                        return (A_new, b_acc + b, loss_acc + loss.sum()), None
                     return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
 
                 (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
-                if in_kernel_acc:
+                if in_kernel_acc or pad is not None:
                     A = A[:D, :D]
                 if deferred["mirror"]:
                     from ..ops.pallas.gram import mirror_gram

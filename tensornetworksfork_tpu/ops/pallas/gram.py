@@ -35,7 +35,7 @@ TILE = 128
 # increments these, so sweep-level tests can assert the Pallas branch is
 # actually taken for a given topology/shape (not just that kernels are
 # correct in isolation).
-CALLS = {"weighted_gram": 0, "gram_pair": 0}
+CALLS = {"weighted_gram": 0, "gram_pair": 0, "add_packed_upper": 0}
 
 
 def _on_tpu() -> bool:
@@ -573,6 +573,9 @@ def _kmix_block(S: int, C: int, tile: int, itemsize: int) -> int:
     scoped allocation measured 18.62 MB = ~31.6 B per BS*C*tile element
     (the 3*3*itemsize model undercounted 1.76x and OOM'd the 16 MB core
     limit on hardware at the flagship shape)."""
+    ov = int(os.environ.get("TNF_KMIX_BLOCK", "0"))
+    if ov and S % ov == 0:
+        return ov
     BS = 512
     while BS > 8 and (S % BS or 16 * BS * C * tile * itemsize
                       > VMEM_BUDGET):
@@ -584,12 +587,16 @@ def _make_retile_hmix_kernel(C: int):
     def kernel(h_ref, j_ref, jt_ref, kt_ref):
         j = j_ref[...]      # (BS, C, tile) — C on sublanes
         h = h_ref[...]      # (C, C, BS, 1) f32 — (BS, 1) rows lane-broadcast
-        # hoist the per-class slices: each is a sublane relayout
-        # (BS, C, tile) -> (BS, tile); reused C times by the mix below
-        js = [j[:, d, :] for d in range(C)]
-        jf = [x.astype(jnp.float32) for x in js]
+        # hoist the per-class slices once in f32: each is a sublane
+        # relayout (BS, C, tile) -> (BS, tile), reused C times by the mix;
+        # jt takes the exact bf16->f32->bf16 round-trip of the same slice
+        # (one hoisted list, not two — the bf16 js list cost VMEM stack;
+        # a no-hoist variant compiled to the IDENTICAL 18.62M scoped
+        # allocation at BS=128 — Mosaic CSEs the slices — so BS=64 is a
+        # hard clamp at the flagship shape, not a kernel-body artifact)
+        jf = [j[:, d, :].astype(jnp.float32) for d in range(C)]
         for c in range(C):
-            jt_ref[0, c] = js[c]
+            jt_ref[0, c] = jf[c].astype(jt_ref.dtype)
             acc = h[c, 0] * jf[0]
             for d in range(1, C):
                 acc += h[c, d] * jf[d]
@@ -850,6 +857,39 @@ def _weighted_gram_tiled_jit(Jt: jax.Array, h: jax.Array,
     return A
 
 
+def _add_kernel(a_ref, b_ref, o_ref):
+    o_ref[...] = a_ref[...] + b_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _add_packed_upper_jit(Aacc: jax.Array, Anew: jax.Array,
+                          tile: int = 512,
+                          interpret: bool = False) -> jax.Array:
+    """Aacc + Anew touching ONLY the packed grid's visited upper tiles.
+
+    Both operands are raw packed-syrk outputs — (Dp, Dp) f32 with the
+    upper-triangle tiles valid and the never-visited lower tiles undefined.
+    XLA's full-matrix add spends half its ~5 ms/chunk (D=16,200, measured
+    643 GB/s) on that undefined lower triangle; this kernel walks the same
+    (k, i) round-robin pair map as the gram kernels, so the chunk-scan
+    accumulation costs ~half the HBM traffic. The result stays raw — the
+    caller's once-per-update mirror_gram only reads the upper triangle.
+    input_output_aliasing folds the add into Aacc's buffer (the scan carry
+    donates it), leaving the untouched lower tiles bit-identical."""
+    Dp = Aacc.shape[0]
+    n = Dp // tile
+    spec = pl.BlockSpec((tile, tile), lambda k, i: _pq(k, i, n))
+    return pl.pallas_call(
+        _add_kernel,
+        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+        grid=(_packed_nk(n), n),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(Aacc, Anew)
+
+
 # Public entry points: thin non-jitted wrappers so the trace-time CALLS
 # counters fire on EVERY enclosing trace — the jitted bodies above are
 # skipped on a global jit-cache hit (same avals traced anywhere else in
@@ -887,3 +927,8 @@ def weighted_gram_tiled(Jt, h, interpret=False, tile=512, block=2048,
     CALLS["weighted_gram"] += 1
     return _weighted_gram_tiled_jit(Jt, h, interpret=interpret, tile=tile,
                                     block=block, mirror=mirror, acc=acc)
+
+
+def add_packed_upper(Aacc, Anew, tile=512, interpret=False):
+    CALLS["add_packed_upper"] += 1
+    return _add_packed_upper_jit(Aacc, Anew, tile=tile, interpret=interpret)

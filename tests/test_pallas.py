@@ -372,3 +372,38 @@ def test_kmix_engine_route_matches_xla(monkeypatch):
         np.testing.assert_allclose(np.asarray(b_ker), np.asarray(b_xla),
                                    rtol=2e-4, atol=2e-4)
     assert checked >= 1
+
+
+def test_sweep_padded_raw_carry_matches_plain(monkeypatch):
+    """Multi-chunk sweep through the tiled kernel route: chunks accumulate
+    via the PADDED raw carry + add_packed_upper (upper-tiles-only Pallas
+    add), mirrored once before the solve — must match the plain engine's
+    sweep and must actually take the add kernel (trace-time counter)."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.core.sweep import Member, SweepConfig, Sweeper
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.ops.pallas.gram import CALLS
+
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    monkeypatch.setenv("TNF_PALLAS_TILE", "128")
+    layer = TensorConvolutionTrainLayer(3, 6, 12, 4, output_shape=(4,),
+                                        convolution_bond=3, seed=2)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((48, 12, 4)), jnp.float32)
+    y = jnp.asarray(np.eye(5, dtype=np.float32)[rng.integers(0, 5, 48)])
+    cfg = SweepConfig(num_swipes=1, batch_size=16, method="ridge_cholesky",
+                      eps=0.5)  # 3 chunks -> 2 in-scan adds per node
+
+    p_plain, okp = Sweeper(Network(layer.topology, use_pallas=False),
+                           XEBregman(w=1.0), cfg).run([layer.params], x, y)
+    before = CALLS["add_packed_upper"]
+    p_pal, okq = Sweeper(Network(layer.topology, use_pallas=True),
+                         XEBregman(w=1.0), cfg).run([layer.params], x, y)
+    assert okp and okq
+    assert CALLS["add_packed_upper"] > before
+    for k in p_plain[0]:
+        np.testing.assert_allclose(np.asarray(p_pal[0][k]),
+                                   np.asarray(p_plain[0][k]),
+                                   rtol=5e-3, atol=5e-3)
