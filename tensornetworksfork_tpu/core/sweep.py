@@ -134,6 +134,33 @@ class Sweeper:
         # the next epoch's first l2r run).
         self._near_hist: Dict = {}
         self._data_cache = None  # (src_tuple, data) — input-identity cache
+        # deferred per-node ok flags (device scalars) — see _flush_ok
+        self._pending_ok: List = []
+
+    def _defer_ok(self, ok, name: str) -> None:
+        self._pending_ok.append((ok, name))
+
+    def _flush_ok(self) -> bool:
+        """ONE host fetch for all deferred per-node singular flags.
+
+        bool(ok) after every update forced a full device sync plus the
+        ~31 ms tunnel RTT (CLAUDE.md) and stopped the host from dispatching
+        the next node's programs — ~26 syncs per flagship epoch. The jitted
+        updates guard themselves (new_core = where(ok, new, old), matching
+        the reference's LinAlgError abort that leaves the failing node
+        unassigned, network.py:481-484), so a singular solve cannot poison
+        later updates and detection can wait until the end of the half-pass:
+        run() still returns success=False, at worst one half-pass later."""
+        if not self._pending_ok:
+            return True
+        pending, self._pending_ok = self._pending_ok, []
+        oks = np.asarray(jnp.stack([o for o, _ in pending]))
+        if bool(oks.all()):
+            return True
+        if self.cfg.verbose > 0:
+            bad = pending[int(np.argmin(oks))][1]
+            print(f"Singular system for node {bad}")
+        return False
 
     def _timed(self, phase: str, fn, *args):
         if not self._timing:
@@ -349,6 +376,10 @@ class Sweeper:
             step, ok = solve_block(A, b, core, method, eps, cfg.refine)
             new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
                                     cfg.max_norm, mask)
+            # singular guard: keep the old core (the reference's
+            # LinAlgError abort leaves the node unassigned) so the caller
+            # can DEFER the ok fetch without poisoning later updates
+            new_core = jnp.where(ok, new_core, core)
             return new_core, loss.sum(), ok
 
         self._jits[key] = jax.jit(fn)
@@ -557,6 +588,9 @@ class Sweeper:
                 new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
                                         cfg.max_norm, mask)
                 ok = jnp.all(jnp.isfinite(new_core))
+                # singular guard (deferred-ok contract: see _flush_ok)
+                new_core = jnp.where(ok, new_core, core)
+                x_sol = jnp.where(ok, x_sol, jnp.zeros_like(x_sol))
                 pred_out = None
                 if return_pred:
                     prms = dict(params, **{name: new_core})
@@ -589,6 +623,8 @@ class Sweeper:
 
                 (new_core, loss_sum), _ = jax.lax.scan(body, (core, 0.0), pieces)
                 ok = jnp.all(jnp.isfinite(new_core))
+                # singular guard (deferred-ok contract: see _flush_ok)
+                new_core = jnp.where(ok, new_core, core)
             else:
                 # A is accumulated and solved FLAT (D, D): a 2-D carry tiles
                 # at ~1x while the node-shaped carry pads up to 8x and its
@@ -666,6 +702,8 @@ class Sweeper:
                 new_core = apply_update(core, step.reshape(core.shape),
                                         cfg.lr, cfg.adaptive_step,
                                         cfg.max_norm, mask)
+                # singular guard (deferred-ok contract: see _flush_ok)
+                new_core = jnp.where(ok, new_core, core)
 
             pred_out = None
             if return_pred:
@@ -1137,6 +1175,7 @@ class Sweeper:
             if cfg.timeout is not None and (time.time() - start) > cfg.timeout:
                 if cfg.verbose > 0:
                     print(f"Timeout reached ({cfg.timeout} s). Stopping sweep.")
+                self._pending_ok.clear()
                 return False, False, last_other
 
             if not t.input_nodes:
@@ -1153,11 +1192,8 @@ class Sweeper:
                     f"update:{t.nodes[ni].name}", upd, params_list[mi],
                     data["y"], data["w"], rest_for(mi),
                     jnp.asarray(eps, jnp.float32))
-                if not bool(ok):
-                    if cfg.verbose > 0:
-                        print(f"Singular system for node {t.nodes[ni].name}")
-                    return False, False, last_other
                 name = t.nodes[ni].name
+                self._defer_ok(ok, name)
                 params_list[mi] = dict(params_list[mi], **{name: new_core})
                 last_other = (mi, ci)
                 if use_rest and i == member_last_i[mi]:
@@ -1172,7 +1208,7 @@ class Sweeper:
                 if convergence_criterion is not None and convergence_criterion():
                     if block_callback is not None:
                         block_callback(NS, name)
-                    return True, True, last_other
+                    return self._flush_ok(), True, last_other
                 if block_callback is not None:
                     block_callback(NS, name)
                 continue
@@ -1214,11 +1250,8 @@ class Sweeper:
                 data["w"], rest_for(mi), jnp.asarray(eps, jnp.float32), x0)
             if x_sol is not None:
                 self._node_sols[(mi, ni)] = x_sol
-            if not bool(ok):
-                if cfg.verbose > 0:
-                    print(f"Singular system for node {t.nodes[ni].name}")
-                return False, False, last_other
             name = t.nodes[ni].name
+            self._defer_ok(ok, name)
             params_list[mi] = dict(params_list[mi], **{name: new_core})
             last_other = (mi, ci)
 
@@ -1249,11 +1282,11 @@ class Sweeper:
                     print("Converged")
                 if block_callback is not None:
                     block_callback(NS, name)
-                return True, True, last_other
+                return self._flush_ok(), True, last_other
             if block_callback is not None:
                 block_callback(NS, name)
 
-        return True, False, last_other
+        return self._flush_ok(), False, last_other
 
     def _refresh_far(self, mi, ci, far_envs, params_list, data, side="right"):
         net = self.members[mi].net

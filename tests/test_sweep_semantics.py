@@ -317,3 +317,21 @@ def test_fullbatch_merge_in_sum_restores_pred_layout(monkeypatch):
                                                 lb.network.bind_inputs(X))))
 
     np.testing.assert_allclose(run(""), run("0"), rtol=1e-4, atol=1e-4)
+
+
+def test_singular_abort_deferred_and_core_guarded():
+    """A singular local system must (a) make run() return success=False —
+    the reference's LinAlgError abort (network.py:481-484) — and (b) leave
+    every core UNCHANGED: updates self-guard with where(ok, new, old) so the
+    ok fetch can be deferred to one flush per half-pass without a NaN core
+    poisoning later updates."""
+    layer = TensorTrainLayer(2, 3, 4, seed=0)
+    X = jnp.zeros((32, 4), jnp.float32)  # all-zero inputs -> A == 0
+    y = jnp.ones((32, 1), jnp.float32)
+    cfg = SweepConfig(num_swipes=1, method="exact", eps=0.0)
+    sw = Sweeper(layer.network, SquareBregFunction(), cfg)
+    params, ok = sw.run([layer.params], X, y)
+    assert ok is False
+    for k, v in layer.params.items():
+        np.testing.assert_array_equal(np.asarray(params[0][k]),
+                                      np.asarray(v))
