@@ -19,6 +19,7 @@ import os
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
@@ -857,8 +858,23 @@ def _weighted_gram_tiled_jit(Jt: jax.Array, h: jax.Array,
     return A
 
 
-def _add_kernel(a_ref, b_ref, o_ref):
+def _add_kernel(tab_ref, a_ref, b_ref, o_ref):
     o_ref[...] = a_ref[...] + b_ref[...]
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_table(n: int):
+    """Exact upper-triangle tile-pair list — the (k, i) round-robin map
+    with even-n's duplicate distance-n/2 visits REMOVED (n(n+1)/2 rows)."""
+    pairs = []
+    for k in range(n // 2 + 1):
+        for i in range(n):
+            if n % 2 == 0 and k == n // 2 and i >= n // 2:
+                continue  # duplicate of pair (i - n//2, i)
+            j = (i + k) % n
+            pairs.append((min(i, j), max(i, j)))
+    assert len(pairs) == n * (n + 1) // 2
+    return np.asarray(pairs, np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
@@ -870,24 +886,51 @@ def _add_packed_upper_jit(Aacc: jax.Array, Anew: jax.Array,
     Both operands are raw packed-syrk outputs — (Dp, Dp) f32 with the
     upper-triangle tiles valid and the never-visited lower tiles undefined.
     XLA's full-matrix add spends half its ~5 ms/chunk (D=16,200, measured
-    643 GB/s) on that undefined lower triangle; this kernel walks the same
-    (k, i) round-robin pair map as the gram kernels, so the chunk-scan
-    accumulation costs ~half the HBM traffic. The result stays raw — the
-    caller's once-per-update mirror_gram only reads the upper triangle.
-    input_output_aliasing folds the add into Aacc's buffer (the scan carry
-    donates it), leaving the untouched lower tiles bit-identical."""
+    643 GB/s) on that undefined lower triangle; this kernel visits each
+    upper tile pair exactly once, so the chunk-scan accumulation costs
+    ~half the HBM traffic. The result stays raw — the caller's
+    once-per-update mirror_gram only reads the upper triangle (the
+    never-visited lower tiles keep Aacc's values via the aliasing).
+
+    input_output_aliases folds the add into Aacc's buffer — without it,
+    XLA copies the fresh output back into the scan carry slot every chunk
+    (a full (Dp, Dp) pass, ~3.3 ms at the flagship — measured 7.37 vs
+    7.70 s/epoch). Aliasing is only legal because the grid enumerates each
+    pair EXACTLY once: the (k, i) round-robin grid visits even-n's
+    distance-n/2 pairs twice, and under aliasing the second visit re-reads
+    the tile the first already wrote back — a silent double-add on
+    hardware that interpret mode (which copies buffers) cannot reproduce.
+    That bug shipped briefly and was caught by the 10-seed digits
+    replication (96.55 -> 91.98 % with spurious singulars); the exact
+    pair table (scalar-prefetch index map) is the fix, verified on the
+    v5e by a chained-add probe at even n."""
     Dp = Aacc.shape[0]
     n = Dp // tile
-    spec = pl.BlockSpec((tile, tile), lambda k, i: _pq(k, i, n))
+    if not _HAVE_PLTPU:  # pltpu-less jaxlib: duplicate-visiting grid,
+        # NO aliasing (both visits then read the original Aacc — correct)
+        spec2 = pl.BlockSpec((tile, tile), lambda k, i: _pq(k, i, n))
+        return pl.pallas_call(
+            lambda a_ref, b_ref, o_ref: _add_kernel(None, a_ref, b_ref,
+                                                    o_ref),
+            out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+            grid=(_packed_nk(n), n),
+            in_specs=[spec2, spec2],
+            out_specs=spec2,
+            interpret=interpret,
+        )(Aacc, Anew)
+    tab = jnp.asarray(_pair_table(n))
+    spec = pl.BlockSpec((tile, tile), lambda p, t: (t[p, 0], t[p, 1]))
     return pl.pallas_call(
         _add_kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
-        grid=(_packed_nk(n), n),
-        in_specs=[spec, spec],
-        out_specs=spec,
-        input_output_aliases={0: 0},
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tab.shape[0],),
+            in_specs=[spec, spec],
+            out_specs=spec),
+        input_output_aliases={1: 0},
         interpret=interpret,
-    )(Aacc, Anew)
+    )(tab, Aacc, Anew)
 
 
 # Public entry points: thin non-jitted wrappers so the trace-time CALLS
