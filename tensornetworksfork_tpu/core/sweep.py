@@ -87,7 +87,8 @@ def _numeric_env_key():
             os.environ.get("TNF_OWNOUT_K_MAX_ELEMS", ""),
             os.environ.get("TNF_FLAT_GRAM_MAX_UNROLL", ""),
             os.environ.get("TNF_FULLBATCH_MAX_BYTES", ""),
-            os.environ.get("TNF_KMIX", "1"))
+            os.environ.get("TNF_KMIX", "1"),
+            os.environ.get("TNF_KMIX_BLOCK", ""))
 
 
 class Member:
@@ -1018,6 +1019,10 @@ class Sweeper:
                    y_members, start, convergence_criterion, block_callback,
                    loss_callback, reversed_pass: bool = False):
         cfg = self.cfg
+        # a previous pass that exited abnormally (exception in a callback,
+        # SIGALRM trial wall, KeyboardInterrupt) can strand deferred flags;
+        # they must not fail THIS pass's flush
+        self._pending_ok.clear()
         S, B = data["S"], data["B"]
         n_nodes = len(order)
 
