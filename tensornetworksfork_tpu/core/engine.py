@@ -227,9 +227,125 @@ class Network:
                  cols_so_far: Sequence[int]) -> Operand:
         """Contract column `ci` into the running environment (reference
         compute_stacks inner loop, network.py:62-69)."""
-        ops = ([prev] if prev is not None else []) + self.column_operands(ci, params, inputs)
+        col_ops = self.column_operands(ci, params, inputs)
         keep = self.env_keep(cols_so_far)
+        if prev is not None and os.environ.get("TNF_ENV_STAGED", "1") == "1":
+            fast = self._env_step_conv_fast(prev, col_ops, keep)
+            if fast is not None:
+                return (keep, fast)
+        ops = ([prev] if prev is not None else []) + col_ops
         return (keep, contract(ops, keep, self.aux_precision))
+
+    def _env_step_conv_fast(self, prev, col_ops, keep):
+        """Staged lowering of a conv-TT-like column advance, or None.
+
+        The generic einsum path lowers the 4-operand advance
+        (prev env × core × conv block × input) as batched dot_generals
+        whose M/N dims are the TINY bond axes with the 2048-sample axis as
+        the batch dim — each batch element is one sub-MXU-sized op, and the
+        column advance ran at ~0.7 TFLOP/s (benchmarks/env_bench.py,
+        76.5 ms/advance at the flagship — the second-largest epoch phase).
+        This staging merges large axes into the matmul M dimension instead
+        (measured 144 -> 85 ms per 26-chunk advance standalone):
+
+          1. U[(s·p), (cb·cb')]   = X[(s·p), q] @ conv[q, (cb·cb')]
+          2. V[s, (p·cb'), (o·r)] = U ⋅ prev[s, (o·r), cb]   (contract cb)
+          3. env[(s·cb'·o), r']   = V[(s·cb'·o), (r·p)] @ core[(r·p), r']
+
+        Acceptance is structural (axis-id driven, both sweep directions):
+        exactly one sample-carrying input X(s, p, q), one 3-axis operand
+        sharing p (the core), one sharing q (the conv block), each with one
+        axis bridging to prev and one surviving into keep; prev carries
+        only (s, bridges, kept-out axes). Anything else — plain TT columns,
+        CPD hyperedges, complex dtypes, multi-input columns — returns None
+        and takes the generic contract. TNF_ENV_STAGED=0 reverts.
+
+        Numerics: same FLOPs, different summation ORDER than the einsum
+        lowering — bit-exactness with the generic path is not guaranteed
+        (accuracy re-validated on digits, see RESULTS.md)."""
+        t = self.topology
+        s = t.sample_axis
+        prev_axes, P = prev
+        if len(col_ops) != 3 or s not in prev_axes:
+            return None
+        xs = [o for o in col_ops if s in o[0]]
+        if len(xs) != 1:
+            return None
+        x_axes, X = xs[0]
+        if len(x_axes) != 3 or len(set(x_axes)) != 3:
+            return None
+        others = [o for o in col_ops if o is not xs[0]]
+        if any(len(ax) != 3 or len(set(ax)) != 3 or s in ax
+               for ax, _ in others):
+            return None
+        if any(jnp.iscomplexobj(a) for _, a in [prev] + col_ops):
+            return None
+        x_free = [a for a in x_axes if a != s]
+        if len(x_free) != 2:
+            return None
+
+        def classify(op):
+            ax, arr = op
+            shared = [a for a in ax if a in x_free]
+            bridge = [a for a in ax if a in prev_axes]
+            kept = [a for a in ax if a in keep]
+            if (len(shared) != 1 or len(bridge) != 1 or len(kept) != 1
+                    or shared[0] in prev_axes or shared[0] in keep
+                    or bridge[0] == kept[0] or bridge[0] in keep):
+                return None
+            return shared[0], bridge[0], kept[0], ax, arr
+
+        c0, c1 = classify(others[0]), classify(others[1])
+        if c0 is None or c1 is None or c0[0] == c1[0]:
+            return None
+        # conv := the operand sharing X's q; core := the one sharing p —
+        # the roles are symmetric, pick by sharing (either works; the
+        # staging below only needs consistent labels)
+        (q, cb_b, cb_k, conv_ax, CONV), (p, r_b, r_k, core_ax, CORE) = c0, c1
+        outs = tuple(a for a in prev_axes if a not in (s, r_b, cb_b))
+        if any(a not in keep for a in outs):
+            return None
+        if set(keep) != {s, r_k, cb_k, *outs}:
+            return None
+        # static sizes
+        sz = t.axis_size
+        Pn, Qn = sz[p], sz[q]
+        CBb, CBk, Rb, Rk = sz[cb_b], sz[cb_k], sz[r_b], sz[r_k]
+        O = 1
+        for a in outs:
+            O *= sz[a]
+        B = X.shape[x_axes.index(s)]
+        prec = self.aux_precision
+
+        X3 = jnp.transpose(X, (x_axes.index(s), x_axes.index(p),
+                               x_axes.index(q)))
+        convm = jnp.transpose(CONV, (conv_ax.index(q), conv_ax.index(cb_b),
+                                     conv_ax.index(cb_k))).reshape(
+                                         Qn, CBb * CBk)
+        U = jax.lax.dot_general(
+            X3.reshape(B * Pn, Qn), convm.astype(X3.dtype),
+            (((1,), (0,)), ((), ())),
+            precision=prec).reshape(B, Pn, CBb, CBk)
+        pe = jnp.transpose(P, tuple(prev_axes.index(a)
+                                    for a in (s,) + outs + (r_b, cb_b)))
+        pe = pe.reshape(B, O * Rb, CBb)
+        V = jax.lax.dot_general(
+            jnp.transpose(U, (0, 1, 3, 2)).reshape(B, Pn * CBk, CBb),
+            pe.astype(U.dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            precision=prec)  # (B, P*CBk, O*Rb)
+        V = V.reshape(B, Pn, CBk, O, Rb)
+        Vp = jnp.transpose(V, (0, 2, 3, 4, 1)).reshape(
+            B * CBk * O, Rb * Pn)
+        corem = jnp.transpose(CORE, (core_ax.index(r_b), core_ax.index(p),
+                                     core_ax.index(r_k))).reshape(
+                                         Rb * Pn, Rk)
+        out = jax.lax.dot_general(
+            Vp, corem.astype(Vp.dtype), (((1,), (0,)), ((), ())),
+            precision=prec)
+        out = out.reshape((B, CBk) + tuple(sz[a] for a in outs) + (Rk,))
+        cur = (s, cb_k) + outs + (r_k,)
+        return jnp.transpose(out, tuple(cur.index(a) for a in keep))
 
     def env_chain(self, params, inputs, direction: str = "left",
                   skip_last: bool = False) -> List[Optional[Operand]]:

@@ -88,7 +88,8 @@ def _numeric_env_key():
             os.environ.get("TNF_FLAT_GRAM_MAX_UNROLL", ""),
             os.environ.get("TNF_FULLBATCH_MAX_BYTES", ""),
             os.environ.get("TNF_KMIX", "1"),
-            os.environ.get("TNF_KMIX_BLOCK", ""))
+            os.environ.get("TNF_KMIX_BLOCK", ""),
+            os.environ.get("TNF_ENV_STAGED", "1"))
 
 
 class Member:

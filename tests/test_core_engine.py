@@ -256,3 +256,51 @@ def test_aux_precision_default_still_converges(monkeypatch):
         params, layer.network.bind_inputs(jnp.asarray(X))))
     rel = float(np.sqrt(np.mean((pred - y) ** 2)) / np.std(y))
     assert rel < 0.05, rel
+
+
+def test_env_step_staged_matches_generic(monkeypatch):
+    """The staged conv-column env advance (engine._env_step_conv_fast,
+    TNF_ENV_STAGED=1 default) must match the generic einsum lowering for
+    every column of a conv-TT, both directions — and must actually engage
+    (no silent fallback) for at least one middle column each way."""
+    import numpy as np
+
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+
+    layer = TensorConvolutionTrainLayer(3, 4, 6, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=3)
+    net = Network(layer.topology)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((16, 6, 5)), jnp.float32)
+    inputs = net.bind_inputs(x)
+    engaged = 0
+    for direction in ("left", "right"):
+        monkeypatch.setenv("TNF_ENV_STAGED", "0")
+        ref = net.env_chain(layer.params, inputs, direction)
+        monkeypatch.setenv("TNF_ENV_STAGED", "1")
+        fast = net.env_chain(layer.params, inputs, direction)
+        for e0, e1 in zip(ref, fast):
+            if e0 is None:
+                assert e1 is None
+                continue
+            assert e0[0] == e1[0]
+            np.testing.assert_allclose(np.asarray(e1[1]), np.asarray(e0[1]),
+                                       rtol=2e-5, atol=2e-5)
+        # engagement probe: the middle columns must take the fast path
+        ncols = len(net.topology.columns)
+        cols = (list(range(ncols)) if direction == "left"
+                else list(range(ncols - 1, -1, -1)))
+        prev = None
+        seen = []
+        for ci in cols:
+            seen.append(ci)
+            ops = net.column_operands(ci, layer.params, inputs)
+            keep = net.env_keep(seen)
+            if prev is not None:
+                out = net._env_step_conv_fast(prev, ops, keep)
+                if out is not None:
+                    engaged += 1
+            prev = net.env_step(prev, ci, layer.params, inputs, seen)
+    assert engaged >= 2
