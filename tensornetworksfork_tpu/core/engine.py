@@ -280,9 +280,8 @@ class Network:
             return None
         if any(jnp.iscomplexobj(a) for _, a in [prev] + col_ops):
             return None
+        # exactly 2 by the len/set/s checks above
         x_free = [a for a in x_axes if a != s]
-        if len(x_free) != 2:
-            return None
 
         def classify(op):
             ax, arr = op
@@ -297,6 +296,16 @@ class Network:
 
         c0, c1 = classify(others[0]), classify(others[1])
         if c0 is None or c1 is None or c0[0] == c1[0]:
+            return None
+        # cross-operand distinctness: a 3-way hyperedge bridging prev
+        # through BOTH operands (c0[1]==c1[1], e.g. a CPD rank axis
+        # contracted at this column) or both operands keeping the same
+        # axis (c0[2]==c1[2]) is not this structure — without these
+        # checks the transposes below would build invalid permutations
+        # at trace time instead of falling back to the generic contract.
+        # (shared-vs-bridge / shared-vs-kept / bridge-vs-kept collisions
+        # are already excluded inside classify.)
+        if c0[1] == c1[1] or c0[2] == c1[2]:
             return None
         # conv := the operand sharing X's q; core := the one sharing p —
         # the roles are symmetric, pick by sharing (either works; the
@@ -316,14 +325,18 @@ class Network:
             O *= sz[a]
         B = X.shape[x_axes.index(s)]
         prec = self.aux_precision
+        # match the generic einsum's UPWARD dtype promotion (a bf16 x with
+        # f32 params must compute f32, not silently downcast everything to
+        # x's dtype); the aux tier relaxes via `prec`, never via dtypes
+        rt = jnp.result_type(X, CONV, P, CORE)
 
-        X3 = jnp.transpose(X, (x_axes.index(s), x_axes.index(p),
-                               x_axes.index(q)))
+        X3 = jnp.transpose(X.astype(rt), (x_axes.index(s), x_axes.index(p),
+                                          x_axes.index(q)))
         convm = jnp.transpose(CONV, (conv_ax.index(q), conv_ax.index(cb_b),
                                      conv_ax.index(cb_k))).reshape(
                                          Qn, CBb * CBk)
         U = jax.lax.dot_general(
-            X3.reshape(B * Pn, Qn), convm.astype(X3.dtype),
+            X3.reshape(B * Pn, Qn), convm.astype(rt),
             (((1,), (0,)), ((), ())),
             precision=prec).reshape(B, Pn, CBb, CBk)
         pe = jnp.transpose(P, tuple(prev_axes.index(a)
@@ -331,7 +344,7 @@ class Network:
         pe = pe.reshape(B, O * Rb, CBb)
         V = jax.lax.dot_general(
             jnp.transpose(U, (0, 1, 3, 2)).reshape(B, Pn * CBk, CBb),
-            pe.astype(U.dtype),
+            pe.astype(rt),
             (((2,), (2,)), ((0,), (0,))),
             precision=prec)  # (B, P*CBk, O*Rb)
         V = V.reshape(B, Pn, CBk, O, Rb)
@@ -341,7 +354,7 @@ class Network:
                                      core_ax.index(r_k))).reshape(
                                          Rb * Pn, Rk)
         out = jax.lax.dot_general(
-            Vp, corem.astype(Vp.dtype), (((1,), (0,)), ((), ())),
+            Vp, corem.astype(rt), (((1,), (0,)), ((), ())),
             precision=prec)
         out = out.reshape((B, CBk) + tuple(sz[a] for a in outs) + (Rk,))
         cur = (s, cb_k) + outs + (r_k,)

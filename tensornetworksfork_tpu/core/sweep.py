@@ -271,7 +271,10 @@ class Sweeper:
     # keeps the per-chunk contraction intermediates transient — vmap would
     # batch them across the whole dataset and OOM at flagship scale.
     def _jit_far_envs(self, mid: int, direction: str):
-        key = ("far", mid, direction)
+        # _numeric_env_key: env_chain reads TNF_ENV_STAGED /
+        # TNF_AUX_PRECISION at trace time — toggling them mid-process must
+        # not reuse programs traced with the old lowering/precision
+        key = ("far", mid, direction, _numeric_env_key())
         if key not in self._jits:
             net = self.members[mid].net
 
@@ -293,7 +296,7 @@ class Sweeper:
         return self._jits[key]
 
     def _jit_advance(self, mid: int, ci: int, direction: str, has_prev: bool):
-        key = ("adv", mid, ci, direction, has_prev)
+        key = ("adv", mid, ci, direction, has_prev, _numeric_env_key())
         if key not in self._jits:
             net = self.members[mid].net
             ncols = len(net.topology.columns)
@@ -390,7 +393,7 @@ class Sweeper:
     def _jit_member_forward_standalone(self, mid: int, B: int, P: int):
         """Forward of an input-less member, padded + chunked to (nc, B, *out)
         so it composes with the chunked members' cached outputs in a sum."""
-        key = ("fwds", mid, B, P)
+        key = ("fwds", mid, B, P, _numeric_env_key())
         if key not in self._jits:
             net = self.members[mid].net
 

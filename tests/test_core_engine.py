@@ -304,3 +304,59 @@ def test_env_step_staged_matches_generic(monkeypatch):
                     engaged += 1
             prev = net.env_step(prev, ci, layer.params, inputs, seen)
     assert engaged >= 2
+
+
+def test_env_step_staged_rejects_shared_bridge_hyperedge():
+    """A column whose two non-input operands bridge prev through the SAME
+    axis (3-way hyperedge, e.g. a CPD rank contracted at this column) or
+    keep the same axis must fall back (return None) from the staged path,
+    not crash building an invalid permutation at trace time."""
+    from types import SimpleNamespace
+
+    from tensornetworksfork_tpu.core.engine import Network
+
+    B, Pn, Qn, H, Ak, Bk = 4, 3, 5, 2, 6, 7
+    sizes = {0: B, 1: Pn, 2: Qn, 3: Ak, 4: Bk, 8: H, 9: H}
+    fake = SimpleNamespace(
+        topology=SimpleNamespace(sample_axis=0, axis_size=sizes),
+        aux_precision=jax.lax.Precision.HIGHEST)
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    X = ((0, 1, 2), arr(B, Pn, Qn))
+    # shared bridge axis 9 on BOTH operands
+    prev = ((0, 9), arr(B, H))
+    ops = [X, ((1, 9, 3), arr(Pn, H, Ak)), ((2, 9, 4), arr(Qn, H, Bk))]
+    assert Network._env_step_conv_fast(fake, prev, ops, (0, 3, 4)) is None
+    # both operands KEEP the same axis 3
+    prev2 = ((0, 8, 9), arr(B, H, H))
+    ops2 = [X, ((1, 8, 3), arr(Pn, H, Ak)), ((2, 9, 3), arr(Qn, H, Ak))]
+    assert Network._env_step_conv_fast(fake, prev2, ops2, (0, 3)) is None
+
+
+def test_env_step_staged_promotes_dtypes_like_einsum(monkeypatch):
+    """bf16 inputs with f32 params: the staged advance must promote UP to
+    f32 like the generic einsum lowering, not downcast params to bf16."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+
+    layer = TensorConvolutionTrainLayer(3, 4, 6, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=5)
+    net = Network(layer.topology)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((8, 6, 5)), jnp.bfloat16)
+    inputs = net.bind_inputs(x)
+    monkeypatch.setenv("TNF_ENV_STAGED", "0")
+    ref = net.env_chain(layer.params, inputs, "left")
+    monkeypatch.setenv("TNF_ENV_STAGED", "1")
+    fast = net.env_chain(layer.params, inputs, "left")
+    for e0, e1 in zip(ref, fast):
+        if e0 is None:
+            continue
+        assert e1[1].dtype == e0[1].dtype
+        np.testing.assert_allclose(np.asarray(e1[1], np.float32),
+                                   np.asarray(e0[1], np.float32),
+                                   rtol=3e-5, atol=3e-5)
