@@ -42,6 +42,40 @@ def test_sharded_sweep_matches_single_device():
                                    rtol=5e-3, atol=5e-3)
 
 
+def test_sharded_iterative_matches_single_device():
+    """The matrix-free tier (reference scipy_swipe, network.py:709-932 —
+    the CIFAR CG/MINRES path) under a data mesh: every Krylov matvec
+    contracts over the sharded sample axis, so GSPMD must insert the psum
+    inside the lax.while_loop body. Sharded == single-device."""
+    assert len(jax.devices()) >= 8
+    X, y = _data()
+    mesh = make_mesh(8)
+    for method in ("cg", "minres"):
+        cfg = SweepConfig(num_swipes=1, method=method, eps=1e-1,
+                          batch_size=32, max_iter=40, tol=1e-8)
+        l1 = TensorTrainLayer(2, 4, 4, output_shape=(1,), seed=3)
+        p_single, ok1 = Sweeper(l1.network, SquareBregFunction(), cfg).run(
+            [dict(l1.params)], X, y)
+        assert ok1, method
+
+        l2 = TensorTrainLayer(2, 4, 4, output_shape=(1,), seed=3)
+        p_mesh, ok2 = Sweeper(l2.network, SquareBregFunction(), cfg).run(
+            [dict(l2.params)], X, y, mesh=mesh)
+        assert ok2, method
+
+        # Krylov iterates amplify fp-reassociation differences along
+        # near-null directions of A, so params are compared loosely and the
+        # MODEL (predictions) tightly — the functionally meaningful contract.
+        for k in p_single[0]:
+            np.testing.assert_allclose(np.asarray(p_single[0][k]),
+                                       np.asarray(p_mesh[0][k]),
+                                       rtol=5e-3, atol=5e-3, err_msg=method)
+        np.testing.assert_allclose(
+            np.asarray(l1.network.forward(p_single[0], X)),
+            np.asarray(l2.network.forward(p_mesh[0], X)),
+            rtol=1e-4, atol=1e-4, err_msg=method)
+
+
 def test_graft_entry_forward():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
