@@ -39,7 +39,10 @@ def build_model(cfg: RunConfig, input_dim: int):
             train_operator=cfg.train_operator, cum_sum=cfg.cum_sum,
             early_stopping=cfg.early_stopping, verbose=cfg.verbose)
     if mt == "tnml":
+        # tabular loaders standardize features; the sin-cos embedding needs
+        # [0, 1] inputs (reference applies it to raw MNIST pixels)
         return TNMLRegressor(
+            input_scale="minmax",
             r=cfg.r, output_dim=cfg.output_dim, seed=cfg.seed, lr=cfg.lr,
             eps_start=cfg.eps, eps_decay=cfg.eps_decay, abs_err=cfg.abs_err,
             rel_err=cfg.rel_err, batch_size=cfg.batch_size, method=cfg.method,

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..core import gauges
 from ..core.sweep import SweepConfig, Sweeper
-from ..ops.bregman import SquareBregFunction
+from ..ops.bregman import SquareBregFunction, XEBregman
 from .estimators import EarlyStopping, error_rate, rmse, r2_score_np
 from .layers import TensorTrainLayer
 
@@ -49,7 +49,8 @@ class TNMLRegressor(BaseEstimator, RegressorMixin):
                  eps_start=1.0, eps_decay=0.5, abs_err=1e-6, rel_err=1e-4,
                  batch_size=512, method="ridge_cholesky", num_swipes=30,
                  task="regression", early_stopping=0, basis="sin-cos",
-                 degree=3, verbose=0, constrict_bond=True, dtype=jnp.float32):
+                 degree=3, verbose=0, constrict_bond=True, dtype=jnp.float32,
+                 input_scale="none"):
         self.r = r
         self.input_dim = degree + 1 if basis == "polynomial" else 2
         self.output_dim = output_dim
@@ -70,9 +71,18 @@ class TNMLRegressor(BaseEstimator, RegressorMixin):
         self.degree = degree
         self.verbose = verbose
         self.dtype = dtype
+        # the sin-cos map is the Stoudenmire embedding for x in [0, 1]
+        # (reference tnml.py:11-16 applies it raw — MNIST pixels are already
+        # [0, 1]); "minmax" fits a per-feature [0, 1] rescale on the training
+        # data for standardized tabular inputs, where the raw map wraps.
+        self.input_scale = input_scale
+        self._scale_min = None
+        self._scale_rng = None
         self._model = None
 
     def _embed(self, X):
+        if self._scale_min is not None:
+            X = np.clip((X - self._scale_min) / self._scale_rng, 0.0, 1.0)
         if self.basis == "sin-cos":
             return fbasis(X)
         if self.basis == "polynomial":
@@ -115,9 +125,22 @@ class TNMLRegressor(BaseEstimator, RegressorMixin):
             if y_val.ndim == 1:
                 y_val = y_val[:, None]
 
+        if self.input_scale == "minmax":
+            self._scale_min = X.min(axis=0, keepdims=True)
+            rng = X.max(axis=0, keepdims=True) - self._scale_min
+            self._scale_rng = np.where(rng > 0, rng, 1.0)
         X_emb = self._embed(X)
         X_val_emb = self._embed(X_val)
-        bf = self.bf if self.bf is not None else SquareBregFunction()
+        # classification default matches TensorTrainRegressor: C-1 logits +
+        # XE with the appended zero logit (reference tnml runs route through
+        # the same loss family; SquareBregFunction would shape-mismatch the
+        # one-hot y against the C-1 model output)
+        if self.bf is not None:
+            bf = self.bf
+        elif self.task == "classification":
+            bf = XEBregman(w=1.0)
+        else:
+            bf = SquareBregFunction()
 
         # initial gauge: left-orthonormalize all cores (reference tnml.py:218)
         self._model.params = gauges.orthonormalize_all_left(

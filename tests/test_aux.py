@@ -101,6 +101,23 @@ def test_tnml_regressor():
     assert reg.score(X, y) > 0.9
 
 
+def test_tnml_classification_standardized_inputs():
+    # classification defaults to XE on C-1 logits, and input_scale="minmax"
+    # refits standardized features into the [0, 1] domain the sin-cos
+    # (Stoudenmire) embedding expects — without it the map wraps and
+    # training plateaus near chance on z-scored tabular data.
+    from tensornetworksfork_tpu.models.tnml import TNMLRegressor
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((512, 4)).astype(np.float32) * 3.0
+    labels = (X[:, 0] + X[:, 1] > 0).astype(np.int64)
+    y = np.eye(2, dtype=np.float32)[labels]
+    reg = TNMLRegressor(r=4, output_dim=1, task="classification",
+                        input_scale="minmax", num_swipes=6, eps_start=0.5,
+                        eps_decay=0.5, batch_size=256, seed=0)
+    reg.fit(X, y)
+    assert reg.score(X, y) > 0.9
+
+
 def test_module_batch_regressor():
     from tensornetworksfork_tpu.models.module import (
         TensorTrainBatchRegressor, TensorTrainRegressor)
