@@ -24,6 +24,19 @@ import jax.numpy as jnp
 
 _LETTERS = string.ascii_lowercase + string.ascii_uppercase
 
+
+def _symbol(i: int) -> str:
+    """Einsum symbol #i: ascii letters first, then unicode (opt_einsum scheme).
+
+    chr(140+i) matches opt_einsum.get_symbol, so expressions stay parseable by
+    the opt_einsum front-end jnp.einsum uses. Removes the 52-axis ceiling that
+    wide MPS chains (e.g. 30-feature TNML, one core per feature) exceed.
+    """
+    if i < len(_LETTERS):
+        return _LETTERS[i]
+    return chr(140 + i)
+
+
 Axes = Tuple[int, ...]
 
 
@@ -35,11 +48,7 @@ class Labeler:
 
     def __getitem__(self, axis_id) -> str:
         if axis_id not in self._map:
-            if len(self._map) >= len(_LETTERS):
-                raise ValueError(
-                    f"einsum call needs more than {len(_LETTERS)} distinct axes"
-                )
-            self._map[axis_id] = _LETTERS[len(self._map)]
+            self._map[axis_id] = _symbol(len(self._map))
         return self._map[axis_id]
 
     def __contains__(self, axis_id) -> bool:

@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.sweep import Member, SweepConfig, Sweeper
-from ..ops.bregman import SquareBregFunction
+from ..ops.bregman import SquareBregFunction, XEBregman
 from .layers import (
     CPDLayer, CumSumLayer, SumLayer, TensorTrainLayer, TensorTrainLinearLayer,
     TNLayer,
@@ -31,6 +31,24 @@ except Exception:  # pragma: no cover
 
     class RegressorMixin:  # type: ignore
         pass
+
+
+def one_hot_labels(y, n_cls=None):
+    """Maps 1-D (or single-column) integer class labels to one-hot (n, C).
+
+    Already-one-hot targets pass through unchanged, so the experiment drivers
+    (which encode before calling fit, train_tabular.py here /
+    reference train_tabular.py:93-101) are unaffected; raw sklearn-style
+    label vectors get the encoding the XE loss expects. Returns
+    (encoded_y, n_classes) — n_classes is None on the pass-through path.
+    """
+    y = np.asarray(y)
+    if y.ndim > 1 and y.shape[-1] > 1:
+        return y, n_cls
+    flat = y.reshape(-1)
+    if n_cls is None:
+        n_cls = int(flat.max()) + 1
+    return np.eye(n_cls, dtype=np.float32)[flat.astype(int)], n_cls
 
 
 def rmse(y_true, y_pred):
@@ -215,6 +233,12 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
     def fit(self, X, y, X_val=None, y_val=None, validation_split=0.1,
             split_train=True):
         X = self._add_bias(self._as_array(X))
+        if self.task == "classification":
+            y, n_cls = one_hot_labels(y)
+            if y_val is not None:
+                y_val, _ = one_hot_labels(y_val, n_cls)
+            if self._model is None and n_cls is not None:
+                self.output_dim = n_cls - 1
         y = self._as_array(y)
         if y.ndim == 1:
             y = y[:, None]
@@ -245,7 +269,15 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
             if X_val.shape[1] != X.shape[1]:
                 X_val = self._add_bias(X_val)
 
-        bf = self.bf if self.bf is not None else SquareBregFunction()
+        if self.bf is not None:
+            bf = self.bf
+        elif self.task == "classification":
+            # XE on C-1 logits — the only loss that shape-matches the one-hot
+            # y against the C-1 model output (reference train_tabular.py:48-60
+            # likewise defaults classification runs to the XE family)
+            bf = XEBregman(w=1.0)
+        else:
+            bf = SquareBregFunction()
 
         cfg = SweepConfig(
             num_swipes=self.num_swipes, batch_size=self.batch_size,

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from ..core import gauges
 from ..core.sweep import SweepConfig, Sweeper
 from ..ops.bregman import SquareBregFunction, XEBregman
-from .estimators import EarlyStopping, error_rate, rmse, r2_score_np
+from .estimators import (EarlyStopping, error_rate, one_hot_labels, rmse,
+                         r2_score_np)
 from .layers import TensorTrainLayer
 
 try:
@@ -98,6 +99,12 @@ class TNMLRegressor(BaseEstimator, RegressorMixin):
     def fit(self, X, y, X_val=None, y_val=None, validation_split=0.1,
             split_train=True):
         X = np.asarray(X, np.float32)
+        if self.task == "classification":
+            y, n_cls = one_hot_labels(y)
+            if y_val is not None:
+                y_val, _ = one_hot_labels(y_val, n_cls)
+            if self._model is None and n_cls is not None:
+                self.output_dim = n_cls - 1
         y = np.asarray(y, np.float32)
         if y.ndim == 1:
             y = y[:, None]

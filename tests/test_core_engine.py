@@ -360,3 +360,38 @@ def test_env_step_staged_promotes_dtypes_like_einsum(monkeypatch):
         np.testing.assert_allclose(np.asarray(e1[1], np.float32),
                                    np.asarray(e0[1], np.float32),
                                    rtol=3e-5, atol=3e-5)
+
+
+def test_contract_beyond_52_axes():
+    """A 30-core MPS (one core per tabular feature, reference tnml.py usage)
+    needs >52 distinct einsum axes; the Labeler must spill past ascii into
+    opt_einsum-style unicode symbols instead of raising."""
+    from tensornetworksfork_tpu.core.contract import contract, einsum_expr
+
+    n = 60  # 61 distinct axis ids > 52 ascii letters
+    rng = np.random.default_rng(0)
+    mats = [rng.standard_normal((2, 2)).astype(np.float32) for _ in range(n)]
+    operands = [((i, i + 1), jnp.asarray(m)) for i, m in enumerate(mats)]
+    expr = einsum_expr([axes for axes, _ in operands], (0, n))
+    assert "->" in expr and len(set(expr.replace(",", "").replace("->", ""))) > 52
+    out = contract(operands, (0, n))
+    ref = mats[0]
+    for m in mats[1:]:
+        ref = ref @ m
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_wide_mps_forward_and_sweep():
+    """End-to-end: a 28-feature TNML-style network (30 cores incl. output)
+    trains without hitting an einsum symbol limit (zoo regression:
+    breast_cancer has 30 features)."""
+    from tensornetworksfork_tpu.models.tnml import TNMLRegressor
+
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0.0, 1.0, size=(64, 28)).astype(np.float32)
+    y = (X[:, 0] + X[:, 7] > 1.0).astype(np.int64)
+    m = TNMLRegressor(r=3, num_swipes=1, task="classification", seed=0,
+                      verbose=0, input_scale="minmax")
+    m.fit(X, y)
+    acc = m.score(X, y)
+    assert acc > 0.6

@@ -109,3 +109,17 @@ def test_estimator_linear_dim_path():
                                seed=6)
     reg.fit(X, y)
     assert reg.score(X, y) > 0.3
+
+
+def test_classifier_accepts_raw_integer_labels():
+    """sklearn-style label vectors one-hot internally (and set output_dim);
+    previously raw labels broadcast against the C-logit softmax and trained
+    garbage. Reference drivers encode before fit (train_tabular.py:93-101);
+    the direct estimator API must accept both forms."""
+    from sklearn.datasets import load_iris
+    X, y = load_iris(return_X_y=True)  # y: (150,) ints 0..2
+    reg = TensorTrainRegressor(N=2, r=4, task="classification", num_swipes=4,
+                               eps_start=0.5, eps_decay=0.5, seed=0)
+    reg.fit(X / X.max(0), y)
+    assert reg.output_dim == 2  # C-1 logits inferred from the labels
+    assert reg.score(X / X.max(0), y) > 0.8
