@@ -64,7 +64,10 @@ def append_results_csv(results: Dict, path: str) -> None:
         with open(path, newline="") as f:
             reader = csv.reader(f)
             existing_fields = next(reader, None)
-    fields = existing_fields or list(results.keys())
+    # copy: appending new keys must NOT mutate existing_fields, or the
+    # header-changed check below never fires and rows with new columns get
+    # appended misaligned under the old header
+    fields = list(existing_fields) if existing_fields else list(results.keys())
     for k in results:
         if k not in fields:
             fields.append(k)

@@ -349,3 +349,23 @@ def test_sweep_resource_guard(monkeypatch):
            "num_swipes": 1, "cum_sum": False}
     res = cv_score(cfg, cpd, X, y)
     assert not res.get("infeasible"), res
+
+
+def test_append_results_csv_extends_header_without_aliasing(tmp_path):
+    """Rows carrying NEW columns must trigger a header rewrite. A list-alias
+    bug (fields aliased existing_fields, so the changed-header check compared
+    an object to itself) silently appended new columns misaligned under the
+    old header — every regression row in a mixed-task zoo CSV lost its
+    r2/rmse values."""
+    import csv
+
+    from tensornetworksfork_tpu.utils.metrics import append_results_csv
+
+    p = str(tmp_path / "mixed.csv")
+    append_results_csv({"dataset": "iris", "test_accuracy": 0.9}, p)
+    append_results_csv({"dataset": "diabetes", "test_r2": 0.5}, p)
+    append_results_csv({"dataset": "wine", "test_accuracy": 0.7}, p)
+    rows = list(csv.DictReader(open(p)))
+    assert rows[0]["test_accuracy"] == "0.9"
+    assert rows[1]["test_r2"] == "0.5" and rows[1]["test_accuracy"] == ""
+    assert rows[2]["test_accuracy"] == "0.7" and rows[2]["test_r2"] == ""
