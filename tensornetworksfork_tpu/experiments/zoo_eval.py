@@ -45,7 +45,11 @@ FIT_WALL_S = 600  # SIGALRM guard per fit: a wedged remote compile skips the
                   # quirks; same pattern as experiments/sweep.py)
 
 
-class _Timeout(Exception):
+class _Timeout(BaseException):
+    # BaseException, NOT Exception: train_tabular.run wraps model.fit in a
+    # broad `except Exception` (singular-abort parity), which would swallow
+    # an Exception-derived alarm and mislabel a wedged-compile timeout as a
+    # singular row. BaseException escapes that handler (like KeyboardInterrupt).
     pass
 
 

@@ -41,14 +41,61 @@ def one_hot_labels(y, n_cls=None):
     reference train_tabular.py:93-101) are unaffected; raw sklearn-style
     label vectors get the encoding the XE loss expects. Returns
     (encoded_y, n_classes) — n_classes is None on the pass-through path.
+
+    Labels must be non-negative integers 0..C-1: a negative label (e.g. the
+    {-1,+1} binary convention) would silently wrap through np.eye's fancy
+    indexing onto the last class, and a label >= the training-derived n_cls
+    (a rare class absent from train but present in val) would IndexError
+    deep in fit — both raise a clear ValueError here instead.
     """
     y = np.asarray(y)
     if y.ndim > 1 and y.shape[-1] > 1:
         return y, n_cls
     flat = y.reshape(-1)
+    if flat.size and float(flat.min()) < 0:
+        raise ValueError(
+            "classification labels must be 0..C-1 integers, got negative "
+            f"label {flat.min()} (remap {{-1,+1}}-style labels to {{0,1}})")
     if n_cls is None:
         n_cls = int(flat.max()) + 1
+    elif flat.size and int(flat.max()) >= n_cls:
+        raise ValueError(
+            f"label {int(flat.max())} out of range for the {n_cls} classes "
+            "seen in the training labels (pass one-hot targets or ensure "
+            "every class appears in y_train)")
     return np.eye(n_cls, dtype=np.float32)[flat.astype(int)], n_cls
+
+
+def prepare_classification_targets(y, y_val, output_dim, perturb):
+    """Shared classification-target prep for the sklearn-style estimators:
+    one-hot-encode raw label vectors (y_val with the train-derived class
+    count) and infer output_dim = C-1 (the C-1-logit convention, SURVEY
+    §2.4). Re-applies the perturb/output-dim guard the constructors enforce
+    (layers.py perturb init requires a single output dim) because output_dim
+    is only known here for raw labels. Returns (y, y_val, output_dim)."""
+    y, n_cls = one_hot_labels(y)
+    if y_val is not None:
+        y_val, _ = one_hot_labels(y_val, n_cls)
+    if n_cls is not None:
+        output_dim = n_cls - 1
+        if perturb and output_dim > 1:
+            raise ValueError("perturb not supported for output dim > 1 "
+                             f"(raw labels imply {n_cls} classes -> "
+                             f"output_dim {output_dim})")
+    return y, y_val, output_dim
+
+
+def default_loss(task, bf):
+    """The loss an estimator trains with when the user passes bf=None:
+    XE on C-1 logits for classification (the only loss that shape-matches
+    one-hot y against the C-1 model output; reference train_tabular.py:48-60
+    likewise defaults classification to the XE family), squared error
+    otherwise."""
+    if bf is not None:
+        return bf
+    if task == "classification":
+        return XEBregman(w=1.0)
+    return SquareBregFunction()
 
 
 def rmse(y_true, y_pred):
@@ -234,11 +281,15 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
             split_train=True):
         X = self._add_bias(self._as_array(X))
         if self.task == "classification":
-            y, n_cls = one_hot_labels(y)
-            if y_val is not None:
-                y_val, _ = one_hot_labels(y_val, n_cls)
-            if self._model is None and n_cls is not None:
-                self.output_dim = n_cls - 1
+            # on a continued fit (model already built) output_dim is frozen:
+            # encode against it instead of re-inferring from the labels
+            if self._model is None:
+                y, y_val, self.output_dim = prepare_classification_targets(
+                    y, y_val, self.output_dim, self.perturb)
+            else:
+                y, _ = one_hot_labels(y, self.output_dim + 1)
+                if y_val is not None:
+                    y_val, _ = one_hot_labels(y_val, self.output_dim + 1)
         y = self._as_array(y)
         if y.ndim == 1:
             y = y[:, None]
@@ -269,15 +320,7 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
             if X_val.shape[1] != X.shape[1]:
                 X_val = self._add_bias(X_val)
 
-        if self.bf is not None:
-            bf = self.bf
-        elif self.task == "classification":
-            # XE on C-1 logits — the only loss that shape-matches the one-hot
-            # y against the C-1 model output (reference train_tabular.py:48-60
-            # likewise defaults classification runs to the XE family)
-            bf = XEBregman(w=1.0)
-        else:
-            bf = SquareBregFunction()
+        bf = default_loss(self.task, self.bf)
 
         cfg = SweepConfig(
             num_swipes=self.num_swipes, batch_size=self.batch_size,

@@ -13,9 +13,9 @@ import jax.numpy as jnp
 
 from ..core import gauges
 from ..core.sweep import SweepConfig, Sweeper
-from ..ops.bregman import SquareBregFunction, XEBregman
-from .estimators import (EarlyStopping, error_rate, one_hot_labels, rmse,
-                         r2_score_np)
+from .estimators import (EarlyStopping, default_loss, error_rate,
+                         one_hot_labels, prepare_classification_targets,
+                         rmse, r2_score_np)
 from .layers import TensorTrainLayer
 
 try:
@@ -100,11 +100,13 @@ class TNMLRegressor(BaseEstimator, RegressorMixin):
             split_train=True):
         X = np.asarray(X, np.float32)
         if self.task == "classification":
-            y, n_cls = one_hot_labels(y)
-            if y_val is not None:
-                y_val, _ = one_hot_labels(y_val, n_cls)
-            if self._model is None and n_cls is not None:
-                self.output_dim = n_cls - 1
+            if self._model is None:
+                y, y_val, self.output_dim = prepare_classification_targets(
+                    y, y_val, self.output_dim, perturb=False)
+            else:  # continued fit: output_dim frozen by the built model
+                y, _ = one_hot_labels(y, self.output_dim + 1)
+                if y_val is not None:
+                    y_val, _ = one_hot_labels(y_val, self.output_dim + 1)
         y = np.asarray(y, np.float32)
         if y.ndim == 1:
             y = y[:, None]
@@ -142,12 +144,7 @@ class TNMLRegressor(BaseEstimator, RegressorMixin):
         # XE with the appended zero logit (reference tnml runs route through
         # the same loss family; SquareBregFunction would shape-mismatch the
         # one-hot y against the C-1 model output)
-        if self.bf is not None:
-            bf = self.bf
-        elif self.task == "classification":
-            bf = XEBregman(w=1.0)
-        else:
-            bf = SquareBregFunction()
+        bf = default_loss(self.task, self.bf)
 
         # initial gauge: left-orthonormalize all cores (reference tnml.py:218)
         self._model.params = gauges.orthonormalize_all_left(

@@ -58,25 +58,31 @@ def append_results_csv(results: Dict, path: str) -> None:
     parent = os.path.dirname(path)
     if parent:
         os.makedirs(parent, exist_ok=True)
-    exists = os.path.exists(path)
     existing_fields = None
-    if exists:
+    if os.path.exists(path):
         with open(path, newline="") as f:
             reader = csv.reader(f)
             existing_fields = next(reader, None)
+    # an existing-but-empty file (e.g. an interrupted run) reads a None
+    # header and is treated like a missing file: the header must be written
+    has_header = existing_fields is not None
     # copy: appending new keys must NOT mutate existing_fields, or the
     # header-changed check below never fires and rows with new columns get
     # appended misaligned under the old header
-    fields = list(existing_fields) if existing_fields else list(results.keys())
+    fields = list(existing_fields) if has_header else list(results.keys())
     for k in results:
         if k not in fields:
             fields.append(k)
     rows = []
-    if exists and existing_fields != fields:
+    rewrite = has_header and existing_fields != fields
+    if rewrite:
+        # header extended: rewrite under the new header even when the file
+        # holds no data rows yet (appending under the old header would
+        # misalign this and every later row)
         with open(path, newline="") as f:
             rows = list(csv.DictReader(f))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    mode = "w" if (not exists or rows) else "a"
+    mode = "a" if (has_header and not rewrite) else "w"
     with open(path, mode, newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fields)
         if mode == "w":

@@ -123,3 +123,26 @@ def test_classifier_accepts_raw_integer_labels():
     reg.fit(X / X.max(0), y)
     assert reg.output_dim == 2  # C-1 logits inferred from the labels
     assert reg.score(X / X.max(0), y) > 0.8
+
+
+def test_classifier_label_validation():
+    """Label-encoding guards (code-review round 3): negative labels ({-1,+1}
+    convention) must raise instead of silently wrapping onto the last class;
+    a val label outside the train-derived class range must raise a clear
+    ValueError instead of IndexError'ing deep in fit; raw multi-class labels
+    with perturb=True must fail at the estimator level (the constructor's
+    guard can't see the label-implied output_dim)."""
+    import pytest
+    from tensornetworksfork_tpu.models.estimators import (
+        one_hot_labels, prepare_classification_targets)
+
+    with pytest.raises(ValueError, match="negative"):
+        one_hot_labels(np.array([-1, 1, 1, -1]))
+    with pytest.raises(ValueError, match="out of range"):
+        one_hot_labels(np.array([0, 1, 2]), n_cls=2)
+    with pytest.raises(ValueError, match="perturb"):
+        prepare_classification_targets(np.array([0, 1, 2]), None, 1, True)
+    # one-hot targets pass through untouched regardless of perturb
+    y = np.eye(3, dtype=np.float32)[np.array([0, 1, 2])]
+    y2, yv, od = prepare_classification_targets(y, None, 1, True)
+    assert y2 is y and od == 1
