@@ -71,16 +71,27 @@ def main():
         elif variant == "env":
             def one(x_c):
                 return forward_env(net, params, net.bind_inputs(x_c))
+        elif variant == "artifact":
+            # the AOT serving path: a deserialized jax.export blob (params
+            # baked in), dispatched per chunk like a serving process would —
+            # includes the per-call dispatch overhead the scan variants hide
+            from tensornetworksfork_tpu.utils.serving import (
+                export_forward, load_forward)
+            f = load_forward(export_forward(layer, (P, pp)))
         else:
             raise SystemExit(f"unknown variant {variant}")
 
-        @jax.jit
-        def run(x):
-            def body(_, x_c):
-                return None, one(x_c)
+        if variant == "artifact":
+            def run(x):
+                return jnp.stack([f(x[i]) for i in range(x.shape[0])])
+        else:
+            @jax.jit
+            def run(x):
+                def body(_, x_c):
+                    return None, one(x_c)
 
-            _, outs = jax.lax.scan(body, None, x)
-            return outs
+                _, outs = jax.lax.scan(body, None, x)
+                return outs
 
         t0 = time.perf_counter()
         out = run(x)
