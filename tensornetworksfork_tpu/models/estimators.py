@@ -408,6 +408,16 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
             return r2_score_np(y_true, y_pred)
         return 1.0 - error_rate(y_true, y_pred)
 
+    def export(self, path=None, **kw):
+        """AOT serving export (utils/serving.py): a batch-polymorphic
+        cpu+tpu StableHLO artifact reproducing predict(). Returns the blob;
+        also writes it to `path` when given."""
+        from ..utils.serving import export_estimator, save_forward
+        blob = export_estimator(self, **kw)
+        if path is not None:
+            save_forward(path, blob)
+        return blob
+
 
 def calibrate_logit_scale(layer, X, n: int = 64) -> float:
     """w = 1/std of an initial forward — the reference's XE logit calibration

@@ -82,8 +82,9 @@ class TNMLRegressor(BaseEstimator, RegressorMixin):
         self._model = None
 
     def _embed(self, X):
+        # jnp ops so the embedding traces (and exports) as part of the model
         if self._scale_min is not None:
-            X = np.clip((X - self._scale_min) / self._scale_rng, 0.0, 1.0)
+            X = jnp.clip((X - self._scale_min) / self._scale_rng, 0.0, 1.0)
         if self.basis == "sin-cos":
             return fbasis(X)
         if self.basis == "polynomial":
@@ -197,3 +198,22 @@ class TNMLRegressor(BaseEstimator, RegressorMixin):
                 y_true = y_true[:, None]
             return r2_score_np(y_true, y_pred)
         return 1.0 - error_rate(y_true, y_pred)
+
+    def export(self, path=None, **kw):
+        """AOT serving export: raw feature rows in, predict() semantics out
+        — the minmax rescale + basis embedding trace into the artifact
+        (jnp ops in _embed), so serve time needs no feature-map code."""
+        from ..utils.serving import export_forward, save_forward
+        if self._model is None:
+            raise ValueError("estimator must be fitted before export")
+        model, embed = self._model, self._embed
+
+        def serve(x):
+            return model(embed(x))
+
+        blob = export_forward(serve, (self.N,),
+                              classification=(self.task == "classification"),
+                              dtype=self.dtype, **kw)
+        if path is not None:
+            save_forward(path, blob)
+        return blob

@@ -57,3 +57,31 @@ def test_estimator_export_matches_predict():
 def test_estimator_export_requires_fit():
     with pytest.raises(ValueError, match="fitted"):
         export_estimator(TensorTrainRegressor(N=2, r=4))
+
+
+def test_estimator_export_method_and_tnml(tmp_path):
+    """est.export(path) writes a loadable artifact; TNML artifacts bake the
+    minmax rescale + basis embedding in (raw feature rows at serve time)."""
+    from tensornetworksfork_tpu.models.tnml import TNMLRegressor
+
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0, 1, size=(64, 6)).astype(np.float32)
+    y = (X[:, 0] + X[:, 3] > 1.0).astype(np.int64)
+
+    reg = TensorTrainRegressor(N=2, r=4, task="classification", num_swipes=2,
+                               eps_start=0.5, seed=0)
+    reg.fit(X, y)
+    p = str(tmp_path / "reg.stablehlo")
+    reg.export(p)
+    f = load_forward(p)
+    np.testing.assert_allclose(np.asarray(f(X)), reg.predict(X),
+                               rtol=1e-5, atol=1e-5)
+
+    tn = TNMLRegressor(r=3, num_swipes=1, task="classification", seed=0,
+                       verbose=0, input_scale="minmax")
+    tn.fit(X, y)
+    g = load_forward(tn.export())
+    np.testing.assert_allclose(np.asarray(g(X)), tn.predict(X),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g(X[:5])), tn.predict(X[:5]),
+                               rtol=1e-4, atol=1e-4)
