@@ -48,6 +48,18 @@ def build_model(cfg: RunConfig, input_dim: int):
             rel_err=cfg.rel_err, batch_size=cfg.batch_size, method=cfg.method,
             num_swipes=cfg.num_swipes, task=cfg.task,
             early_stopping=cfg.early_stopping, verbose=cfg.verbose)
+    if mt == "tt_batch":
+        # stochastic block-coordinate trainer (reference train_mnist_batch.py
+        # + tensor/module.py:308-500); --stream native routes minibatch
+        # gathering through the C++ prefetcher (native/tnf_stream.cpp)
+        from ..models.module import TensorTrainBatchRegressor
+        return TensorTrainBatchRegressor(
+            N=cfg.N, r=cfg.r, output_dim=cfg.output_dim,
+            linear_dim=cfg.linear_dim, constrict_bond=cfg.constrict_bond,
+            seed=cfg.seed, lr=cfg.lr, eps_start=cfg.eps,
+            batch_size=cfg.batch_size, method=cfg.method,
+            num_swipes=cfg.num_swipes, verbose=cfg.verbose,
+            swipe_method=cfg.swipe_method, stream=cfg.stream)
     if mt == "mlp":
         from ..models.baselines import MLPWrapper
         return MLPWrapper(input_dim, cfg.output_dim, task=cfg.task)

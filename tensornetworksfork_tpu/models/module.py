@@ -210,9 +210,16 @@ class TensorTrainBatchRegressor(TensorTrainRegressor):
     batch_block  = one node trained across all minibatches, mirrored cycle."""
 
     def __init__(self, *args, batch_size=1024, swipe_method="batch_unique",
-                 **kwargs):
+                 stream=None, **kwargs):
         super().__init__(*args, batch_size=batch_size, **kwargs)
         self.swipe_method = swipe_method
+        # stream="native": minibatches gathered by the C++ prefetcher
+        # (utils/data_stream.py) on a background thread instead of fancy
+        # indexing on the training thread. Same protocol; permutations come
+        # from the native mt19937_64 shuffle (not bit-identical to the
+        # default path's RandomState), and batch_block draws a fresh
+        # permutation per block instead of reusing the swipe's one.
+        self.stream = stream
 
     def fit(self, X, y, X_val=None, y_val=None, validation_split=0.1,
             split_train=True):
@@ -248,33 +255,59 @@ class TensorTrainBatchRegressor(TensorTrainRegressor):
         seq = [(mi, ni) for mi, m in enumerate(sweeper.members)
                for ni in m.train_nodes]
 
-        for swipe in range(self.num_swipes):
-            indices = batch_rng.permutation(n_train)
-            if self.swipe_method == "batch_unique":
-                block_iter = mirrored_cycle(seq, one_cycle=False)
+        ms = None
+        y_host = np.asarray(y)
+        if self.stream == "native":
+            from ..utils.data_stream import MinibatchStream
+            ms = MinibatchStream(np.asarray(X), self.batch_size,
+                                 seed=self.seed)
+
+        def epoch_batches(indices=None):
+            """One full permutation of the training set as (xb, yb) pairs —
+            gathered by the native prefetcher when stream='native', else by
+            fancy indexing on this thread (reference module.py:378-384).
+            `indices` reuses a precomputed permutation (batch_block shares
+            the swipe's permutation across blocks on the default path)."""
+            if ms is not None:
+                for xb, idx in ms.epoch():
+                    yield xb, y_host[idx]
+            else:
+                if indices is None:
+                    indices = batch_rng.permutation(n_train)
                 for bs in range(0, n_train, self.batch_size):
                     bi = indices[bs:bs + self.batch_size]
-                    block = next(block_iter)
-                    params, _ = sweeper.run(params, X[bi], y[bi],
-                                            node_order=[block])
-                    self._store(sweeper)
-                eval_epoch()
-            elif self.swipe_method == "batch_same":
-                for bs in range(0, n_train, self.batch_size):
-                    bi = indices[bs:bs + self.batch_size]
-                    params, _ = sweeper.run(params, X[bi], y[bi])
-                    self._store(sweeper)
-                eval_epoch()
-            elif self.swipe_method == "batch_block":
-                for block in mirrored_cycle(seq, one_cycle=True):
-                    for bs in range(0, n_train, self.batch_size):
-                        bi = indices[bs:bs + self.batch_size]
-                        params, _ = sweeper.run(params, X[bi], y[bi],
+                    yield X[bi], y[bi]
+
+        try:
+            for swipe in range(self.num_swipes):
+                if self.swipe_method == "batch_unique":
+                    block_iter = mirrored_cycle(seq, one_cycle=False)
+                    for xb, yb in epoch_batches():
+                        block = next(block_iter)
+                        params, _ = sweeper.run(params, xb, yb,
                                                 node_order=[block])
                         self._store(sweeper)
-                eval_epoch()
-            else:
-                raise ValueError(f"unknown swipe_method {self.swipe_method!r}")
+                    eval_epoch()
+                elif self.swipe_method == "batch_same":
+                    for xb, yb in epoch_batches():
+                        params, _ = sweeper.run(params, xb, yb)
+                        self._store(sweeper)
+                    eval_epoch()
+                elif self.swipe_method == "batch_block":
+                    swipe_idx = (None if ms is not None
+                                 else batch_rng.permutation(n_train))
+                    for block in mirrored_cycle(seq, one_cycle=True):
+                        for xb, yb in epoch_batches(swipe_idx):
+                            params, _ = sweeper.run(params, xb, yb,
+                                                    node_order=[block])
+                            self._store(sweeper)
+                    eval_epoch()
+                else:
+                    raise ValueError(
+                        f"unknown swipe_method {self.swipe_method!r}")
+        finally:
+            if ms is not None:
+                ms.close()
         return self
 
 

@@ -20,11 +20,15 @@ _lib = None
 _tried = False
 
 
+_SOURCES = ("tnf_io.cpp", "tnf_stream.cpp")
+
+
 def _build() -> bool:
-    src = os.path.join(_DIR, "tnf_io.cpp")
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", *srcs, "-o", _LIB_PATH,
+             "-lpthread"],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -36,9 +40,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    src = os.path.join(_DIR, "tnf_io.cpp")
-    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
+    stale = (os.path.exists(_LIB_PATH)
+             and any(os.path.exists(s)
+                     and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+                     for s in srcs))
     if (not os.path.exists(_LIB_PATH) or stale) and not _build():
         if not os.path.exists(_LIB_PATH):
             return None
@@ -46,6 +52,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "tnf_stream_open_mem"):
+        # stale single-source lib and no toolchain to rebuild: still serve
+        # the IO entry points, stream callers fall back to numpy
+        pass
+    else:
+        lib.tnf_stream_open_mem.restype = ctypes.c_long
+        lib.tnf_stream_open_mem.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_ulong, ctypes.c_int]
+        lib.tnf_stream_open_file.restype = ctypes.c_long
+        lib.tnf_stream_open_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_ulong, ctypes.c_int]
+        lib.tnf_stream_next.restype = ctypes.c_long
+        lib.tnf_stream_next.argtypes = [
+            ctypes.c_long, ctypes.c_void_p, ctypes.POINTER(ctypes.c_long)]
+        lib.tnf_stream_close.restype = None
+        lib.tnf_stream_close.argtypes = [ctypes.c_long]
     lib.tnf_read_idx.restype = ctypes.c_long
     lib.tnf_read_idx.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,

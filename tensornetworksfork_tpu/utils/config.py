@@ -34,6 +34,8 @@ class RunConfig:
     perturb: bool = False
     cum_sum: bool = False
     train_operator: bool = False
+    swipe_method: str = "batch_same"   # tt_batch: batch_unique|same|block
+    stream: Optional[str] = None       # tt_batch: "native" = C++ prefetcher
     # optimisation
     num_swipes: int = 5
     batch_size: int = 512
@@ -109,14 +111,22 @@ def _coerce(val: str, typ, default):
         try:
             return float(val) if "." in val else int(val)
         except ValueError:
-            return val
+            return None if val in ("", "None", "none") else val
     return val
 
 
 def _parser_for(default):
     if default is None:
-        return lambda s: None if s in ("", "None", "none") else (
-            float(s) if "." in s else int(s))
+        # Optional fields: numbers parse as numbers, everything else stays a
+        # string (Optional[str] knobs like stream="native")
+        def parse(s):
+            if s in ("", "None", "none"):
+                return None
+            try:
+                return float(s) if "." in s else int(s)
+            except ValueError:
+                return s
+        return parse
     if isinstance(default, float):
         return float
     if isinstance(default, int):

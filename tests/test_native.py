@@ -102,3 +102,73 @@ def test_native_idx_bad_magic(tmp_path):
     with open(p, "wb") as f:
         f.write(b"\x12\x34\x08\x01" + struct.pack(">I", 3) + b"\x01\x02\x03")
     assert native.read_idx(p) is None
+
+
+def test_minibatch_stream_mem_and_file(tmp_path):
+    """Native prefetcher (tnf_stream.cpp): every epoch is a full seeded
+    permutation, gathers match fancy indexing, file-backed .npy streams via
+    mmap, and same-seed streams are bit-identical."""
+    from tensornetworksfork_tpu.utils.data_stream import MinibatchStream
+
+    if native.get_lib() is None or not hasattr(native.get_lib(),
+                                               "tnf_stream_open_mem"):
+        pytest.skip("no C++ toolchain")
+    X = np.arange(23 * 4, dtype=np.float32).reshape(23, 4)
+    with MinibatchStream(X, batch_size=5, seed=7) as s:
+        assert s.is_native and s.batches_per_epoch == 5
+        seen = []
+        for xb, idx in s.epoch():
+            np.testing.assert_array_equal(xb, X[idx])
+            seen.extend(idx.tolist())
+        assert sorted(seen) == list(range(23))
+        seen2 = [i for _, idx in s.epoch() for i in idx.tolist()]
+        assert sorted(seen2) == list(range(23)) and seen2 != seen
+
+    with MinibatchStream(X, 5, seed=7) as a, \
+            MinibatchStream(X, 5, seed=7) as b:
+        assert ([i.tolist() for _, i in a.epoch()]
+                == [i.tolist() for _, i in b.epoch()])
+
+    p = str(tmp_path / "big.npy")
+    Y = np.random.default_rng(0).standard_normal((257, 6)).astype(np.float32)
+    np.save(p, Y)
+    with MinibatchStream(p, batch_size=64, seed=1) as fs:
+        assert fs.is_native
+        tot = 0
+        for xb, idx in fs.epoch():
+            np.testing.assert_array_equal(xb, Y[idx])
+            tot += len(idx)
+        assert tot == 257  # partial tail batch kept
+
+
+def test_minibatch_stream_numpy_fallback(monkeypatch):
+    """Without the native lib the stream keeps the same protocol via numpy
+    gathers (permutations differ — mt19937_64 vs numpy Generator)."""
+    from tensornetworksfork_tpu.utils import data_stream
+
+    monkeypatch.setattr(data_stream, "get_lib", lambda: None)
+    X = np.arange(11 * 3, dtype=np.float32).reshape(11, 3)
+    s = data_stream.MinibatchStream(X, batch_size=4, seed=0)
+    assert not s.is_native
+    seen = []
+    for xb, idx in s.epoch():
+        np.testing.assert_array_equal(xb, X[idx])
+        seen.extend(idx.tolist())
+    assert sorted(seen) == list(range(11))
+
+
+def test_batch_regressor_native_stream():
+    """TensorTrainBatchRegressor(stream='native') trains through the
+    prefetcher to the same quality as the default gather path."""
+    from tensornetworksfork_tpu.models.module import TensorTrainBatchRegressor
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-1, 1, size=(256, 3)).astype(np.float32)
+    y = (X[:, :1] * X[:, 1:2] + 0.3 * X[:, 2:]).astype(np.float32)
+    kw = dict(N=2, r=4, num_swipes=3, batch_size=64, eps_start=0.5,
+              swipe_method="batch_same", seed=0, verbose=0)
+    m = TensorTrainBatchRegressor(stream="native", **kw)
+    m.fit(X, y, split_train=False)
+    m0 = TensorTrainBatchRegressor(**kw)
+    m0.fit(X, y, split_train=False)
+    assert m.score(X, y) > 0.9 and m0.score(X, y) > 0.9
