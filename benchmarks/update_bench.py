@@ -28,7 +28,11 @@ def main():
     node_name = sys.argv[1] if len(sys.argv) > 1 else "A2"
     nchunks = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
-    N, r, CB, P, pp, C = 4, 18, 8, 50, 17, 9
+    # model-shape overrides (e.g. the reference CIFAR_minres config:
+    # UB_R=100 UB_CB=5 UB_P=17 UB_PP=193 UB_METHOD=minres)
+    e = os.environ.get
+    N, r, CB = int(e("UB_N", 4)), int(e("UB_R", 18)), int(e("UB_CB", 8))
+    P, pp, C = int(e("UB_P", 50)), int(e("UB_PP", 17)), int(e("UB_C", 9))
 
     from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
     from tensornetworksfork_tpu.models.layers import TensorConvolutionTrainLayer
@@ -43,8 +47,9 @@ def main():
     ci = t.col_of[ni]
     ncols = len(t.columns)
 
-    cfg = SweepConfig(num_swipes=1, batch_size=B, method="ridge_cholesky",
-                      eps=5.0)
+    method = os.environ.get("UB_METHOD", "ridge_cholesky")
+    cfg = SweepConfig(num_swipes=1, batch_size=B, method=method, eps=5.0,
+                      max_iter=int(os.environ.get("UB_MAX_ITER", "50")))
     sw = Sweeper(net, XEBregman(w=1.0), cfg)
 
     rng = np.random.default_rng(0)
@@ -63,10 +68,13 @@ def main():
     L = env_zeros("left", ci - 1) if ci > 0 else None
     R = env_zeros("right", ci + 1) if ci < ncols - 1 else None
     upd = sw._jit_update(0, ni, cfg.method, False, False, B)
+    from tensornetworksfork_tpu.core.sweep import ITERATIVE_METHODS
+    x0 = (jnp.zeros((layer.params[node_name].size,), jnp.float32)
+          if cfg.method in ITERATIVE_METHODS else None)
 
     t0 = time.perf_counter()
     out = upd(layer.params, L, R, data["inputs"][0], data["y"], data["w"],
-              None, jnp.float32(5.0), None)
+              None, jnp.float32(5.0), x0)
     val = float(jnp.sum(out[0]))
     t_compile = time.perf_counter() - t0
     print(f"{node_name}: compiled + first run in {t_compile:.1f}s "
@@ -76,7 +84,7 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         out = upd(layer.params, L, R, data["inputs"][0], data["y"], data["w"],
-                  None, jnp.float32(5.0), None)
+                  None, jnp.float32(5.0), x0)
         float(jnp.sum(out[0]))
         reps.append(time.perf_counter() - t0)
     per_chunk = min(reps) / nchunks

@@ -16,6 +16,7 @@ all carriers, then summed once — exactly the reference `CPDNetwork` behaviour
 """
 from __future__ import annotations
 
+import os
 import string
 from typing import Sequence, Tuple
 
@@ -63,6 +64,15 @@ def einsum_expr(operand_axes: Sequence[Axes], keep: Axes) -> str:
     return ",".join(terms) + "->" + out
 
 
+# Largest intermediate (in ELEMENTS) a FLOP-optimal path may materialise
+# before the planner is re-run memory-constrained. 2^28 el = 1 GiB f32 —
+# far above anything the flagship configs produce (their big contractions
+# use dedicated lowerings, not this planner), but a big-bond one-shot
+# forward (CIFAR r=100: (B, CB, CB, r, r) ~ 4 GiB/chunk) re-plans to a
+# slower path that fits. TNF_CONTRACT_MAX_ELEMS overrides (0 disables).
+_DEFAULT_MAX_ELEMS = 1 << 28
+
+
 def contract(
     operands: Sequence[Tuple[Axes, jax.Array]],
     keep: Axes,
@@ -73,9 +83,26 @@ def contract(
     Every axis id not in `keep` is summed over; ids shared between operands are
     matched (connected edges). Uses opt_einsum path search ("optimal" for small
     operand counts, "auto" beyond) so chain/tree contraction order is optimal
-    without the reference's manual priority scheme.
+    without the reference's manual priority scheme. FLOP-optimal paths whose
+    largest intermediate exceeds the element cap re-plan memory-constrained
+    (see _DEFAULT_MAX_ELEMS) — all trace-time, static shapes.
     """
     expr = einsum_expr([axes for axes, _ in operands], keep)
     arrays = [arr for _, arr in operands]
     optimize = "optimal" if len(arrays) <= 6 else "auto"
+    cap_s = os.environ.get("TNF_CONTRACT_MAX_ELEMS", "")
+    cap = int(cap_s) if cap_s else _DEFAULT_MAX_ELEMS
+    if cap > 0 and len(arrays) > 1:
+        try:
+            import opt_einsum as oe
+            path, info = oe.contract_path(
+                expr, *[a.shape for a in arrays], shapes=True,
+                optimize=optimize)
+            if info.largest_intermediate > cap:
+                path, info = oe.contract_path(
+                    expr, *[a.shape for a in arrays], shapes=True,
+                    optimize=optimize, memory_limit=cap)
+                optimize = path
+        except Exception:
+            pass  # planner quirk: fall through to the unconstrained path
     return jnp.einsum(expr, *arrays, precision=precision, optimize=optimize)

@@ -308,8 +308,35 @@ class Network:
         if c0[1] == c1[1] or c0[2] == c1[2]:
             return None
         # conv := the operand sharing X's q; core := the one sharing p —
-        # the roles are symmetric, pick by sharing (either works; the
-        # staging below only needs consistent labels)
+        # the roles are CORRECTNESS-symmetric but NOT memory-symmetric:
+        # U below materialises (B, Pn, CBb*CBk), i.e. X's p-axis size times
+        # the product of the CONV role's non-shared axes. At the reference
+        # CIFAR_minres config (r=100, CB=5, pixels=193) assigning the TT
+        # core as CONV makes U a 15 GB buffer ((B, 193, 100*100), the
+        # round-3 HBM-OOM in the far-env program) while the other choice is
+        # (B, 17, 25). Keep the operand-order roles (the flagship's measured
+        # and replication-validated lowering) unless their intermediates
+        # exceed the byte cap — swap only then, falling back to the generic
+        # einsum when neither choice fits. All static, trace-time.
+        szs = t.axis_size
+        B_guess = X.shape[x_axes.index(s)]
+        cap = int(os.environ.get("TNF_ENV_STAGED_MAX_BYTES",
+                                 str(2 * 1024 ** 3)))
+
+        def staged_elems(conv_c, core_c):
+            """max(U, V) elements for a (conv, core) role assignment."""
+            o = 1
+            for a in prev_axes:
+                if a not in (s, core_c[1], conv_c[1]):
+                    o *= szs[a]
+            u = B_guess * szs[core_c[0]] * szs[conv_c[1]] * szs[conv_c[2]]
+            v = B_guess * szs[core_c[0]] * szs[conv_c[2]] * o * szs[core_c[1]]
+            return max(u, v)
+
+        if 4 * staged_elems(c0, c1) > cap:
+            if 4 * staged_elems(c1, c0) > cap:
+                return None
+            c0, c1 = c1, c0
         (q, cb_b, cb_k, conv_ax, CONV), (p, r_b, r_k, core_ax, CORE) = c0, c1
         outs = tuple(a for a in prev_axes if a not in (s, r_b, cb_b))
         if any(a not in keep for a in outs):

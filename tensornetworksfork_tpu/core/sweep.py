@@ -89,7 +89,8 @@ def _numeric_env_key():
             os.environ.get("TNF_FULLBATCH_MAX_BYTES", ""),
             os.environ.get("TNF_KMIX", "1"),
             os.environ.get("TNF_KMIX_BLOCK", ""),
-            os.environ.get("TNF_ENV_STAGED", "1"))
+            os.environ.get("TNF_ENV_STAGED", "1"),
+            os.environ.get("TNF_ENV_STAGED_MAX_BYTES", ""))
 
 
 class Member:
@@ -869,23 +870,53 @@ class Sweeper:
             try:
                 out = fn(*args)
             except Exception as e:
+                msg = str(e)
+                # warm-up EXECUTIONS run concurrently: at big-bond configs
+                # (CIFAR r=100) several multi-GB working sets can overlap and
+                # exhaust HBM even though each program runs fine alone. By
+                # that point the executable is already built and cached, so
+                # the warm-up value is disposable — swallow and move on.
+                if "RESOURCE_EXHAUSTED" in msg:
+                    return None
                 # the remote compile service intermittently 500s under
                 # concurrent load (CLAUDE.md); back off and retry once —
                 # but only for that transient error class, not deterministic
                 # trace/shape errors (broad tokens like 'INTERNAL' also match
                 # deterministic compile failures and would slow reporting)
-                msg = str(e)
                 if not ("remote_compile" in msg or "HTTP 500" in msg):
                     raise
                 time.sleep(15)
                 out = fn(*args)
             # force a real device->host transfer: block_until_ready does not
             # reliably block on remote-tunnel platforms (CLAUDE.md)
-            leaves = jax.tree_util.tree_leaves(out)
-            if leaves:  # a 1-column far chain is all-None (terminal skipped)
-                np.asarray(leaves[0].reshape(-1)[:1])
+            try:
+                leaves = jax.tree_util.tree_leaves(out)
+                if leaves:  # 1-column far chain is all-None (terminal skipped)
+                    np.asarray(leaves[0].reshape(-1)[:1])
+            except Exception as e:
+                # concurrent warm-up executions can exhaust HBM here too
+                # (the async dispatch surfaced the error at the fetch) —
+                # the executable is cached, the warm-up value disposable
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
             return None
 
+        # Concurrent warm-up EXECUTIONS overlap their HBM working sets: at
+        # big-bond configs (CIFAR r=100: ~1.5 GB of env/input args per job,
+        # several-GB program temps) four in flight exhaust device memory —
+        # and the failed allocations can destabilise the rest of the run.
+        # Serialize when any single job's argument bytes exceed the budget
+        # (temps scale with the args); the flagship (~0.5 GB/job) keeps its
+        # concurrent warm-up. TNF_PRECOMPILE_SERIAL_BYTES overrides.
+        budget_s = os.environ.get("TNF_PRECOMPILE_SERIAL_BYTES", "")
+        budget = int(budget_s) if budget_s else 1 << 30
+        if max_workers > 1 and budget > 0:
+            def job_bytes(job):
+                return sum(a.size * a.dtype.itemsize
+                           for a in jax.tree_util.tree_leaves(job[1])
+                           if hasattr(a, "size") and hasattr(a, "dtype"))
+            if jobs and max(job_bytes(j) for j in jobs) > budget:
+                max_workers = 1
         pool = ThreadPoolExecutor(max_workers=max_workers)
         try:
             list(pool.map(do, jobs))

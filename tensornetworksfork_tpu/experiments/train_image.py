@@ -189,9 +189,16 @@ def train_model(config):
         if pl is not None:
             model.set_params_list(pl)
 
+    # eval at a smaller batch than training: the one-shot forward's planner
+    # optimises FLOPs, and at big bond dims its intermediates scale with the
+    # batch (r=100 CIFAR: ~1 MB/sample) — the reference likewise evaluates
+    # at batch 64 (CIFAR_minres.py:46). EVAL_BATCH overrides.
+    eval_batch = int(os.environ.get(
+        "EVAL_BATCH", str(min(config["batch_size"], 1024))))
+
     def model_predict(x):
         sync()
-        y = model.forward_batch(x, config["batch_size"])
+        y = model.forward_batch(x, eval_batch)
         return jnp.concatenate([y, jnp.zeros_like(y[:, :1])], axis=1)
 
     stopper = EarlyStopping(
@@ -203,7 +210,10 @@ def train_model(config):
 
     timer = Timer()
     with timer.phase("compile"):
-        sweeper.precompile(model.params_list, xin_tr, y_tr)
+        # TNF_FIT_PRECOMPILE=0 skips the concurrent warm-up (same knob as
+        # the estimator path); run() then compiles lazily, serially
+        if os.environ.get("TNF_FIT_PRECOMPILE", "1") != "0":
+            sweeper.precompile(model.params_list, xin_tr, y_tr)
     with timer.phase("train"):
         params_list, ok = sweeper.run(
             model.params_list, xin_tr, y_tr,

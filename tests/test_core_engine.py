@@ -395,3 +395,65 @@ def test_wide_mps_forward_and_sweep():
     m.fit(X, y)
     acc = m.score(X, y)
     assert acc > 0.6
+
+
+def test_env_step_staged_role_choice_big_bond(monkeypatch):
+    """When the staged conv-column advance's default (operand-order) role
+    assignment would exceed TNF_ENV_STAGED_MAX_BYTES, it must SWAP the
+    conv/core roles instead of materialising the big intermediate: at the
+    reference CIFAR_minres shape (r=100, CB=5, pixels=193) the default
+    choice builds a (B, 193, 10000) U buffer — the round-3 15 GB HBM OOM in
+    the far-env program — where the swap is (B, 17, 25). The flagship's
+    roles (its measured + replication-validated lowering) stay unchanged
+    because they fit the cap. Checked via a dot-operand size spy + equality
+    vs the generic einsum at a scaled-down asymmetric shape."""
+    import jax
+
+    from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    N, r, CB, P, pp, C = 3, 24, 3, 5, 49, 3  # r >> CB, pp >> P like CIFAR
+    B = 32
+    # cap chosen so the default roles' U (B*pp*r*r = 903k el = 3.6 MB)
+    # exceeds it while the swapped roles (max ~35k el) fit
+    monkeypatch.setenv("TNF_ENV_STAGED_MAX_BYTES", str(1_000_000))
+    layer = TensorConvolutionTrainLayer(
+        num_carriages=N, bond_dim=r, num_patches=P, patch_pixels=pp,
+        output_shape=(C,), convolution_bond=CB, seed=0)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((B, P, pp)), jnp.float32)
+    y = jnp.asarray(np.eye(C + 1, dtype=np.float32)[
+        rng.integers(0, C + 1, B)])
+    cfg = SweepConfig(num_swipes=1, batch_size=B, method="ridge_cholesky",
+                      eps=1.0)
+
+    big = [0]
+    orig = jax.lax.dot_general
+
+    def spy(lhs, rhs, *a, **k):
+        big[0] = max(big[0], int(np.prod(lhs.shape)), int(np.prod(rhs.shape)))
+        return orig(lhs, rhs, *a, **k)
+
+    sw = Sweeper(layer.network, XEBregman(w=1.0), cfg)
+    data = sw._prepare(X, y, None)
+    try:
+        jax.lax.dot_general = spy
+        fn = sw._jit_far_envs(0, "left")
+        out_staged = fn(layer.params, data["inputs"][0])
+    finally:
+        jax.lax.dot_general = orig
+    # the default role choice feeds a 903k-element U into the next dot;
+    # the swapped one keeps every dot operand small
+    assert big[0] < 200_000, big[0]
+
+    monkeypatch.setenv("TNF_ENV_STAGED", "0")
+    sw2 = Sweeper(layer.network, XEBregman(w=1.0), cfg)
+    out_generic = sw2._jit_far_envs(0, "left")(layer.params,
+                                               data["inputs"][0])
+    for a, b in zip(jax.tree_util.tree_leaves(out_staged),
+                    jax.tree_util.tree_leaves(out_generic)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-4)
