@@ -136,6 +136,14 @@ class Sweeper:
         # histories feed the r2l runs, and the final r2l near history feeds
         # the next epoch's first l2r run).
         self._near_hist: Dict = {}
+        # retained-history byte budget: at big-bond configs (CIFAR r=100) a
+        # full two-sided history is several GB of HBM held ACROSS runs and
+        # can push the live working set past device memory — beyond the
+        # budget new entries are dropped (recompute instead of retain).
+        # TNF_ENV_HISTORY_MAX_BYTES overrides (0 disables retention).
+        cap_s = os.environ.get("TNF_ENV_HISTORY_MAX_BYTES", "")
+        self._near_hist_cap = int(cap_s) if cap_s else 4 * 1024 ** 3
+        self._near_hist_bytes = 0
         self._data_cache = None  # (src_tuple, data) — input-identity cache
         # deferred per-node ok flags (device scalars) — see _flush_ok
         self._pending_ok: List = []
@@ -215,11 +223,33 @@ class Sweeper:
 
         w = jnp.ones((S,), jnp.float32) if sample_weight is None else jnp.asarray(
             sample_weight, jnp.float32)
+
+        # Dedupe content-identical member inputs: type-I image sums slice
+        # the SAME patch tensor for members 2..N (identical (P-1, pp-1)
+        # views), so one device copy can serve all of them — at the CIFAR
+        # r=100 config this saves ~1 GB of HBM residency. Host-side numpy
+        # equality only (never fetches device arrays).
+        _dedup: List = []  # (host_array, chunked_device_array)
+
+        def chunk_dedup(v):
+            host = isinstance(v, np.ndarray)
+            for hv, dv in _dedup:
+                if hv is v:
+                    return dv
+                if (host and isinstance(hv, np.ndarray)
+                        and hv.shape == v.shape and hv.dtype == v.dtype
+                        and np.array_equal(hv, v)):
+                    return dv
+            dv = chunk(v)
+            _dedup.append((v, dv))
+            return dv
+
         data = {
             "y": chunk(y),
             "w": chunk(w),
             "inputs": [
-                {k: chunk(v) for k, v in m.input_fn(x).items()} for m in self.members
+                {k: chunk_dedup(v) for k, v in m.input_fn(x).items()}
+                for m in self.members
             ],
             "S": S,
             "B": B,
@@ -240,7 +270,17 @@ class Sweeper:
                         sample_dim=t.sample_dim))
                 data["inputs"] = sharded
             else:
-                data["inputs"] = [shard_chunked(d, mesh) for d in data["inputs"]]
+                # preserve the dedupe under the mesh: shard each distinct
+                # array once (keyed by identity) and reuse across members
+                _sharded: Dict[int, jax.Array] = {}
+
+                def _shard_once(a):
+                    if id(a) not in _sharded:
+                        _sharded[id(a)] = shard_chunked(a, mesh)
+                    return _sharded[id(a)]
+
+                data["inputs"] = [{k: _shard_once(v) for k, v in d.items()}
+                                  for d in data["inputs"]]
         return data
 
     def _prepare_cached(self, x, y, sample_weight, mesh, model_labels):
@@ -910,12 +950,29 @@ class Sweeper:
         # concurrent warm-up. TNF_PRECOMPILE_SERIAL_BYTES overrides.
         budget_s = os.environ.get("TNF_PRECOMPILE_SERIAL_BYTES", "")
         budget = int(budget_s) if budget_s else 1 << 30
-        if max_workers > 1 and budget > 0:
-            def job_bytes(job):
-                return sum(a.size * a.dtype.itemsize
-                           for a in jax.tree_util.tree_leaves(job[1])
-                           if hasattr(a, "size") and hasattr(a, "dtype"))
-            if jobs and max(job_bytes(j) for j in jobs) > budget:
+
+        def job_bytes(job):
+            return sum(a.size * a.dtype.itemsize
+                       for a in jax.tree_util.tree_leaves(job[1])
+                       if hasattr(a, "size") and hasattr(a, "dtype"))
+
+        if jobs and budget > 0:
+            # the jobs list pins EVERY member's env chains on device at
+            # once (they are warm-up args); a multi-member big-bond config
+            # (type-I CIFAR r=100) holds >6 GB in args alone and the
+            # warm-up executions then can't allocate — skip the warm-up
+            # entirely and let run() compile lazily (correct, just colder)
+            seen, total = set(), 0
+            for j in jobs:
+                for a in jax.tree_util.tree_leaves(j[1]):
+                    if hasattr(a, "size") and id(a) not in seen:
+                        seen.add(id(a))
+                        total += a.size * a.dtype.itemsize
+            total_cap_s = os.environ.get("TNF_PRECOMPILE_MAX_TOTAL_BYTES", "")
+            total_cap = int(total_cap_s) if total_cap_s else 6 * (1 << 30)
+            if total > total_cap:
+                return 0
+            if max_workers > 1 and max(job_bytes(j) for j in jobs) > budget:
                 max_workers = 1
         pool = ThreadPoolExecutor(max_workers=max_workers)
         try:
@@ -1123,9 +1180,21 @@ class Sweeper:
                 for cc in cols for n in t.columns[cc]
                 if t.nodes[n].kind == PARAM)
 
+        def _env_bytes(env):
+            return sum(a.size * a.dtype.itemsize
+                       for a in jax.tree_util.tree_leaves(env)
+                       if hasattr(a, "size"))
+
         def record_env(mi, c, side, env):
-            self._near_hist.setdefault((mi, side), {})[c] = (
-                env, env_ids(mi, c, side), data_token)
+            hist = self._near_hist.setdefault((mi, side), {})
+            old = hist.pop(c, None)  # stale either way: params changed
+            if old is not None:
+                self._near_hist_bytes -= _env_bytes(old[0])
+            b = _env_bytes(env)
+            if self._near_hist_bytes + b > self._near_hist_cap:
+                return  # over budget: recompute later instead of retaining
+            self._near_hist_bytes += b
+            hist[c] = (env, env_ids(mi, c, side), data_token)
 
         def reuse_chain(mi, far_dir, ncols):
             """Far chain from recorded history, or None if any needed entry

@@ -335,3 +335,36 @@ def test_singular_abort_deferred_and_core_guarded():
     for k, v in layer.params.items():
         np.testing.assert_array_equal(np.asarray(params[0][k]),
                                       np.asarray(v))
+
+
+def test_prepare_dedupes_identical_member_inputs():
+    """Type-I image sums slice the SAME patch tensor for members 2..N —
+    _prepare must keep ONE device copy of content-equal member inputs
+    (reference AAMNST.py builds each member from the same conv tensor; at
+    the CIFAR r=100 config duplicate copies cost ~1 GB of HBM)."""
+    from tensornetworksfork_tpu.core.sweep import Member
+
+    rng = np.random.default_rng(0)
+    S, f = 40, 4
+    X = rng.standard_normal((S, f)).astype(np.float32)
+    y = rng.standard_normal((S, 1)).astype(np.float32)
+    la = TensorTrainLayer(2, 3, f, output_shape=(1,), seed=1)
+    lb = TensorTrainLayer(2, 3, f, output_shape=(1,), seed=2)
+
+    # two members whose input_fns return content-equal fresh arrays
+    def fn_a(x):
+        return la.network.bind_inputs(np.array(x))
+
+    def fn_b(x):
+        return lb.network.bind_inputs(np.array(x))
+
+    sw = Sweeper([Member(la.network, fn_a), Member(lb.network, fn_b)],
+                 SquareBregFunction(), SweepConfig(num_swipes=1, eps=1e-3))
+    data = sw._prepare(X, y, None)
+    da, db = data["inputs"]
+    assert set(da) == set(db)
+    for k in da:
+        assert da[k] is db[k]  # one device buffer serves both members
+    # and the sweep still runs on the deduped data
+    (pa, pb), ok = sw.run([dict(la.params), dict(lb.params)], X, y)
+    assert ok
