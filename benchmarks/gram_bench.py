@@ -185,6 +185,62 @@ def main():
                             Jt.reshape(n, B, C, tile),
                             precision=kprec).reshape(n, B * C, tile)
             return gram_pair_tiled(Jt, Kt, tile=tile, block=block)
+    elif variant.startswith("tiledq"):
+        # the int8 tier's production route (TNF_GRAM_DTYPE=int8): bf16
+        # retile + slab K build, absmax quantization of both operands,
+        # int8 packed-tiled pair kernel with in-kernel rescale
+        from tensornetworksfork_tpu.ops.pallas.gram import (
+            gram_pair_tiled_q, plan_tiles, quantize_tiled, retile_rows)
+        tile, block, n, Dp = plan_tiles(D, 2)
+
+        @jax.jit
+        def f(J, H):
+            Jt = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D), n,
+                             tile)
+            Kt = jnp.einsum("scd,nsdt->nsct", H.astype(jnp.bfloat16),
+                            Jt.reshape(n, B, C, tile),
+                            precision=jax.lax.Precision.DEFAULT,
+                            ).reshape(n, B * C, tile)
+            Q1, s1 = quantize_tiled(Jt, block)
+            Q2, s2 = quantize_tiled(Kt, block)
+            return gram_pair_tiled_q(Q1, s1, Q2, s2, tile=tile)
+    elif variant.startswith("qkernelonly"):
+        # the int8 packed pair kernel alone on pre-quantized operands
+        from tensornetworksfork_tpu.ops.pallas.gram import (
+            gram_pair_tiled_q, plan_tiles, quantize_tiled, retile_rows)
+        tile, block, n, Dp = plan_tiles(D, 2)
+        Jt0 = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D), n, tile)
+        Q0, s0 = quantize_tiled(Jt0, block)
+        Q0, s0 = jax.device_put(Q0), jax.device_put(s0)
+
+        @jax.jit
+        def fq(Q, s):
+            return gram_pair_tiled_q(Q, s, Q, s, tile=tile)
+
+        t = timeit(fq, Q0, s0)
+        ts = slope_timeit(fq, Q0, s0)
+        flops = 2 * B * C * D * D
+        print(f"{variant}: B={B} C={C} D={D}  single-call {t*1e3:.1f} ms | "
+              f"slope {ts*1e3:.1f} ms  {flops/ts/1e12:.1f} TFLOP/s")
+        return
+    elif variant.startswith("quantonly"):
+        # the quantization pass alone (2 reads + int8 write of Jt)
+        from tensornetworksfork_tpu.ops.pallas.gram import (plan_tiles,
+                                                            quantize_tiled,
+                                                            retile_rows)
+        tile, block, n, Dp = plan_tiles(D, 2)
+        Jt0 = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D), n, tile)
+
+        @jax.jit
+        def fz(Jt):
+            return quantize_tiled(Jt, block)
+
+        t = timeit(fz, Jt0)
+        ts = slope_timeit(fz, Jt0)
+        gb = B * C * Dp * (2 + 2 + 1) / 1e9
+        print(f"{variant}: D={D}  single-call {t*1e3:.1f} ms | "
+              f"slope {ts*1e3:.1f} ms  {gb/ts:.0f} GB/s")
+        return
     elif variant.startswith("kmixonly"):
         # the fused retile+class-mix kernel alone (gram.retile_hmix)
         from tensornetworksfork_tpu.ops.pallas.gram import (plan_tiles,

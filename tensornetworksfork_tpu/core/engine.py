@@ -725,12 +725,29 @@ class Network:
             # (retiling per kernel operand measured a net LOSS: 72 -> 78
             # ms/chunk on the A2 update).
             from ..ops.pallas.gram import (_on_tpu, gram_pair_tiled,
-                                           plan_tiles, retile_hmix,
-                                           retile_rows, weighted_gram_tiled)
+                                           gram_pair_tiled_q, gram_quant,
+                                           plan_tiles, quantize_tiled,
+                                           retile_hmix, retile_rows,
+                                           weighted_gram_tiled)
             interp = not _on_tpu()
             tile, block, n, Dp = plan_tiles(
                 D, jnp.dtype(J3.dtype).itemsize, acc=acc is not None)
             mirror = not defer_mirror and acc is None
+            # int8 tier (TNF_GRAM_DTYPE=int8): quantize both Gram operands
+            # per (slab, sample-block, column) and run the int8 packed-syrk
+            # pair kernel — the bf16 kernel is DMA-bound, so int8 halves
+            # its bytes on top of the 1.45x MXU rate. Everything else on
+            # this path (retile/kmix, rhs) stays on the bf16 tier. The
+            # in-kernel chunk accumulator (acc) keeps the bf16 kernels —
+            # the acc variant isn't quantized (TNF_PALLAS_ACC is default
+            # off and measured neutral).
+            quant = gd is not None and gram_quant() and acc is None
+
+            def qpair(Jt_, Kt_):
+                Q1, s1 = quantize_tiled(Jt_, block)
+                Q2, s2 = quantize_tiled(Kt_, block)
+                return gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=interp,
+                                         tile=tile, mirror=mirror)
             # Fused retile+mix kernel (TNF_KMIX=0 reverts to the slab-wise
             # XLA K einsum): one read of J produces class-major Jt AND
             # Kt = H*J — XLA lowered the (S,C,C)x(S,C,D) mixing as an MXU
@@ -765,16 +782,27 @@ class Network:
                     precision=self.aux_precision,
                     preferred_element_type=jnp.float32).reshape(Dp)[:D]
                 if diag:
-                    # fused weighting: the H-weighted copy of J never hits
-                    # HBM
-                    A = weighted_gram_tiled(
-                        Jt, hess_s.reshape(rows).astype(jnp.float32),
-                        interpret=interp, tile=tile, block=block,
-                        mirror=mirror, acc=acc_s)
+                    if quant:
+                        # no fused-weighting int8 form (the f32 weight can't
+                        # ride an int8 operand): materialise K = h*J in f32
+                        # and quantize it — K's scales absorb the weighting
+                        hr = hess_s.reshape(rows).astype(jnp.float32)
+                        A = qpair(Jt, Jt.astype(jnp.float32)
+                                  * hr[None, :, None])
+                    else:
+                        # fused weighting: the H-weighted copy of J never
+                        # hits HBM
+                        A = weighted_gram_tiled(
+                            Jt, hess_s.reshape(rows).astype(jnp.float32),
+                            interpret=interp, tile=tile, block=block,
+                            mirror=mirror, acc=acc_s)
                 elif kmix:
-                    A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
-                                        block=block, mirror=mirror,
-                                        acc=acc_s)
+                    if quant:
+                        A = qpair(Jt, Kt)
+                    else:
+                        A = gram_pair_tiled(Jt, Kt, interpret=interp,
+                                            tile=tile, block=block,
+                                            mirror=mirror, acc=acc_s)
                 else:
                     H2 = hess_s.reshape(Ss, C_sz, C_sz).astype(J3s.dtype)
                     # K slab-wise from the tiled J: class mixing acts on the
@@ -782,9 +810,12 @@ class Network:
                     Kt = jnp.einsum(
                         "scd,nsdt->nsct", H2, Jt.reshape(n, Ss, C_sz, tile),
                         precision=dot_prec).reshape(n, rows, tile)
-                    A = gram_pair_tiled(Jt, Kt, interpret=interp, tile=tile,
-                                        block=block, mirror=mirror,
-                                        acc=acc_s)
+                    if quant:
+                        A = qpair(Jt, Kt)
+                    else:
+                        A = gram_pair_tiled(Jt, Kt, interpret=interp,
+                                            tile=tile, block=block,
+                                            mirror=mirror, acc=acc_s)
                 return A, b
 
             J3v = J3.reshape(S_sz, C_sz, D)

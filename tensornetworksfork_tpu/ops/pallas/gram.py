@@ -36,7 +36,8 @@ TILE = 128
 # increments these, so sweep-level tests can assert the Pallas branch is
 # actually taken for a given topology/shape (not just that kernels are
 # correct in isolation).
-CALLS = {"weighted_gram": 0, "gram_pair": 0, "add_packed_upper": 0}
+CALLS = {"weighted_gram": 0, "gram_pair": 0, "add_packed_upper": 0,
+         "gram_pair_q": 0}
 
 
 def _on_tpu() -> bool:
@@ -65,16 +66,37 @@ def default_block() -> int:
 
 
 def gram_dtype():
-    """Operand dtype for the Gram dot only (TNF_GRAM_DTYPE=f32|bf16).
+    """Operand dtype for the Gram dot only (TNF_GRAM_DTYPE=f32|bf16|int8).
 
     bf16 runs the MXU in native single-pass mode (~2.7x the f32-HIGHEST
     Gram at flagship shapes) while everything around it — Jacobian build,
     Hessian weighting, rhs, Cholesky solve — stays f32: accumulation is
     f32 in the kernel, so only the operand rounding (8-bit mantissa) is
-    lost, averaged down over the sample dimension. Default f32."""
+    lost, averaged down over the sample dimension. Default f32.
+
+    int8 behaves exactly like bf16 everywhere EXCEPT the tiled packed-syrk
+    Gram kernel, whose operands are additionally absmax-quantized to int8
+    (see gram_quant / quantize_tiled) — so this returns bf16 for both: J
+    storage, K build, rhs and predictions run the bf16 tier either way."""
     return (jnp.bfloat16
-            if os.environ.get("TNF_GRAM_DTYPE", "f32").lower() == "bf16"
-            else None)
+            if os.environ.get("TNF_GRAM_DTYPE", "f32").lower() in
+            ("bf16", "int8") else None)
+
+
+def gram_quant() -> bool:
+    """int8-quantized Gram kernel operands (TNF_GRAM_DTYPE=int8).
+
+    The packed Gram kernel is DMA-bound at bf16 (each (rows, tile) slab is
+    re-read ~n+1 times by the pair grid), so halving operand bytes is worth
+    more than the MXU's 1.45x int8 rate (benchmarks/int8_probe.py: 219 vs
+    151 TFLOP/s tile-dot). Both Gram operands are quantized per (D-slab,
+    sample-block, column) with absmax/127 scales; the int8x int8 -> int32
+    MXU dot is exact and each block's partial is rescaled to f32 in-kernel
+    before accumulation, so the only loss is the operand rounding (~2x the
+    bf16 rounding error, averaged down over the sample dimension).
+    Accuracy is workload-dependent: gate with a replication run before
+    adopting (bf16 stays the bench default)."""
+    return os.environ.get("TNF_GRAM_DTYPE", "f32").lower() == "int8"
 
 
 VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MB core limit
@@ -732,6 +754,103 @@ def _gram_pair_tiled_jit(J1t: jax.Array, J2t: jax.Array,
     if mirror:
         A = jnp.triu(A) + jnp.triu(A, 1).T
     return A
+
+
+# ------------------------------------------------------------ int8 tier
+def quantize_tiled(Jt: jax.Array, block: int):
+    """Absmax int8 quantization of a PRE-TILED (n, rows, tile) operand.
+
+    Returns (Q, s): Q (n, Bp, tile) int8 with rows zero-padded up to a
+    multiple of the quantization block, s (n, nb, tile) f32 per-column
+    scales with nb = Bp / qblock. The quantization block is the Gram
+    kernel's sample block (so the kernel can rescale each block's exact
+    int32 partial with its own scales before accumulating — scales stay
+    factorable out of the in-block reduction) or, for short chunks, rows
+    rounded up to the int8 sublane granularity (32).
+
+    Scale granularity per (slab, block, column): finer than per-chunk
+    columns at zero extra cost — the max is a per-block reduction either
+    way — and it bounds the worst case to the block's own dynamic range.
+    Zero columns quantize to q=0 with scale 1 (no 0/0)."""
+    n, rows, tile = Jt.shape
+    BS = block if rows >= block else ((rows + 31) // 32) * 32
+    Bp = ((rows + BS - 1) // BS) * BS
+    if Bp != rows:
+        Jt = jnp.pad(Jt, ((0, 0), (0, Bp - rows), (0, 0)))
+    nb = Bp // BS
+    J4 = Jt.reshape(n, nb, BS, tile).astype(jnp.float32)
+    m = jnp.max(jnp.abs(J4), axis=2)  # (n, nb, tile)
+    s = jnp.where(m > 0, m / 127.0, 1.0)
+    q = jnp.round(J4 * (1.0 / s)[:, :, None, :]).astype(jnp.int8)
+    return q.reshape(n, Bp, tile), s
+
+
+def _pair_kernel_tiled_q(s1_ref, s2_ref, j1_ref, j2_ref, out_ref):
+    """_pair_kernel_tiled on int8 slabs: exact int32 MXU dot, then the
+    block's f32 rescale (outer product of the two operands' per-column
+    scales) fused before the f32 accumulation. The transpose+natural dot
+    is the fast int8 lowering too (benchmarks/int8_probe.py)."""
+    t = jax.lax.dot_general(
+        j1_ref[0].T, j2_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        # explicit DEFAULT: Mosaic rejects the package-global HIGHEST
+        # (contract_precision<fp32>) for non-f32 operands ("Bad lhs type")
+        precision=jax.lax.Precision.DEFAULT)
+    tf = t.astype(jnp.float32) * (s1_ref[0, 0] * s2_ref[0, 0])
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:] = tf
+
+    @pl.when(pl.program_id(2) != 0)
+    def _():
+        out_ref[:] = out_ref[:] + tf
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "mirror"))
+def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
+                           s2: jax.Array, interpret: bool = False,
+                           tile: int = 512, mirror: bool = False):
+    """gram_pair_tiled over int8-quantized operands from quantize_tiled.
+
+    A[d, e] = sum_b s1[b, d] s2[b, e] (Q1_bᵀ Q2_b) — each sample block's
+    int8 dot is EXACT in int32 (max |q|=127: 127² · 2048 rows ≈ 3.3e7,
+    far under 2³¹), so the only approximation is the operand rounding.
+    The per-block rescale costs tile² VPU FMAs per visit (~0.1% of the
+    dot). Output is f32, raw-upper like the other packed kernels."""
+    n, Bp = Q1.shape[0], Q1.shape[1]
+    nb = s1.shape[1]
+    BS = Bp // nb
+    Dp = n * tile
+    s1c = s1[..., None]       # (n, nb, tile, 1): (tile, 1) column factor
+    s2r = s2[:, :, None, :]   # (n, nb, 1, tile): (1, tile) row factor
+    in_specs = [
+        pl.BlockSpec((1, 1, tile, 1),
+                     lambda k, i, b: (_pq(k, i, n)[0], b, 0, 0)),
+        pl.BlockSpec((1, 1, 1, tile),
+                     lambda k, i, b: (_pq(k, i, n)[1], b, 0, 0)),
+        pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
+        pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
+    ]
+    A = pl.pallas_call(
+        _pair_kernel_tiled_q,
+        out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+        grid=(_packed_nk(n), n, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n)),
+        interpret=interpret,
+    )(s1c, s2r, Q1, Q2)
+    if mirror:
+        A = jnp.triu(A) + jnp.triu(A, 1).T
+    return A
+
+
+def gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=False, tile=512,
+                      mirror=False):
+    CALLS["gram_pair_q"] += 1
+    return _gram_pair_tiled_q_jit(Q1, s1, Q2, s2, interpret=interpret,
+                                  tile=tile, mirror=mirror)
 
 
 def _make_own_out_kernel():

@@ -407,3 +407,113 @@ def test_sweep_padded_raw_carry_matches_plain(monkeypatch):
         np.testing.assert_allclose(np.asarray(p_pal[0][k]),
                                    np.asarray(p_plain[0][k]),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_quantize_tiled_roundtrip():
+    """Dequantized int8 operands reconstruct the input within half a
+    quantization step of each (slab, block, column)'s absmax/127 scale."""
+    from tensornetworksfork_tpu.ops.pallas.gram import quantize_tiled
+    rng = np.random.default_rng(7)
+    n, rows, tile = 3, 80, 128  # rows < block: sublane-rounded single block
+    Jt = jnp.asarray(rng.standard_normal((n, rows, tile)) *
+                     rng.uniform(0.1, 10, (1, 1, tile)), jnp.float32)
+    Q, s = quantize_tiled(Jt, block=256)
+    assert Q.dtype == jnp.int8 and Q.shape[1] % 32 == 0
+    nb = s.shape[1]
+    BS = Q.shape[1] // nb
+    deq = (np.asarray(Q, np.float32).reshape(n, nb, BS, tile)
+           * np.asarray(s)[:, :, None, :]).reshape(n, Q.shape[1], tile)
+    err = np.abs(deq[:, :rows] - np.asarray(Jt))
+    bound = np.repeat(np.asarray(s) / 2, BS, axis=1)[:, :rows] + 1e-7
+    assert (err <= bound).all()
+    # zero-padding rows quantize to exactly 0
+    assert (np.asarray(Q)[:, rows:] == 0).all()
+
+
+def test_gram_pair_tiled_q_matches_int_reference():
+    """The int8 pair kernel is EXACT given the quantized operands: its raw
+    upper tiles equal the numpy int64 blockwise-rescaled reference."""
+    from tensornetworksfork_tpu.ops.pallas.gram import (gram_pair_tiled_q,
+                                                        quantize_tiled)
+    rng = np.random.default_rng(8)
+    n, rows, tile = 2, 96, 128
+    J = jnp.asarray(rng.standard_normal((n, rows, tile)), jnp.float32)
+    K = jnp.asarray(rng.standard_normal((n, rows, tile)), jnp.float32)
+    Q1, s1 = quantize_tiled(J, block=32)   # several blocks
+    Q2, s2 = quantize_tiled(K, block=32)
+    A = gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=True, tile=tile,
+                          mirror=True)
+    q1 = np.asarray(Q1, np.int64)
+    q2 = np.asarray(Q2, np.int64)
+    nb = s1.shape[1]
+    BS = q1.shape[1] // nb
+    D = n * tile
+    ref = np.zeros((D, D))
+    for b in range(nb):
+        qb1 = q1[:, b * BS:(b + 1) * BS]  # (n, BS, tile)
+        qb2 = q2[:, b * BS:(b + 1) * BS]
+        sc1 = np.asarray(s1)[:, b]  # (n, tile)
+        sc2 = np.asarray(s2)[:, b]
+        blk = np.einsum("ibd,jbe->idje", qb1, qb2).astype(np.float64)
+        blk *= sc1[:, :, None, None]   # rescale rows by q1's column scales
+        blk *= sc2[None, None, :, :]   # rescale cols by q2's column scales
+        ref += blk.reshape(D, D)
+    ref = np.triu(ref) + np.triu(ref, 1).T  # kernel mirrors the upper
+    np.testing.assert_allclose(np.asarray(A), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_gram_dtype_int8(monkeypatch):
+    """TNF_GRAM_DTYPE=int8 on the tiled route: A/b must track the f32 path
+    to quantization-level error, and the q-kernel must actually be taken
+    (trace-time counter) for full, diagonal and no-kmix Hessians."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import (SquareBregFunction,
+                                                    XEBregman)
+    from tensornetworksfork_tpu.ops.pallas.gram import CALLS
+
+    layer = TensorConvolutionTrainLayer(3, 4, 5, 3, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    t = layer.topology
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((24, 5, 3)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 24)])
+    params = layer.params
+    net_f32 = Network(t, use_pallas=False)
+    net_q = Network(t, use_pallas=True)
+    inputs = net_f32.bind_inputs(x)
+    envs_l = net_f32.env_chain(params, inputs, "left")
+    envs_r = net_f32.env_chain(params, inputs, "right")
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    checked = 0
+    for kmix in ("1", "0"):
+        monkeypatch.setenv("TNF_KMIX", kmix)
+        for ni in t.train_nodes[:3]:
+            ci = t.col_of[ni]
+            L = envs_l[ci - 1] if ci > 0 else None
+            R = envs_r[ci + 1] if ci < len(t.columns) - 1 else None
+            monkeypatch.delenv("TNF_GRAM_DTYPE", raising=False)
+            pj = net_f32.packed_jacobian(ni, params, inputs, L, R)
+            if pj is None:
+                continue
+            pred = net_f32.packed_predict(pj, params[t.nodes[ni].name])
+            for loss_fn in (XEBregman(w=1.0), SquareBregFunction()):
+                yy = (y if isinstance(loss_fn, XEBregman)
+                      else jnp.zeros_like(pred))
+                _, g, H = loss_fn(pred, yy)
+                A1, b1 = net_f32.packed_gram_rhs(pj, g, H)
+                monkeypatch.setenv("TNF_GRAM_DTYPE", "int8")
+                pjq = net_q.packed_jacobian(ni, params, inputs, L, R)
+                before = CALLS["gram_pair_q"]
+                A2, b2 = net_q.packed_gram_rhs(pjq, g, H)
+                assert CALLS["gram_pair_q"] > before
+                checked += 1
+                scale = float(np.abs(np.asarray(A1)).max())
+                np.testing.assert_allclose(np.asarray(A2) / scale,
+                                           np.asarray(A1) / scale,
+                                           atol=4e-2)
+                bs = float(np.abs(np.asarray(b1)).max())
+                np.testing.assert_allclose(np.asarray(b2) / bs,
+                                           np.asarray(b1) / bs, atol=4e-2)
+    assert checked >= 4
