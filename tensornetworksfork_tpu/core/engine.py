@@ -744,8 +744,8 @@ class Network:
             quant = gd is not None and gram_quant() and acc is None
 
             def qpair(Jt_, Kt_):
-                Q1, s1 = quantize_tiled(Jt_, block)
-                Q2, s2 = quantize_tiled(Kt_, block)
+                Q1, s1 = quantize_tiled(Jt_, block, interpret=interp)
+                Q2, s2 = quantize_tiled(Kt_, block, interpret=interp)
                 return gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=interp,
                                          tile=tile, mirror=mirror)
             # Fused retile+mix kernel (TNF_KMIX=0 reverts to the slab-wise

@@ -517,3 +517,19 @@ def test_engine_gram_dtype_int8(monkeypatch):
                 np.testing.assert_allclose(np.asarray(b2) / bs,
                                            np.asarray(b1) / bs, atol=4e-2)
     assert checked >= 4
+
+
+def test_quantize_tiled_kernel_matches_xla():
+    """The single-pass Pallas quantizer (interpret) computes exactly the
+    XLA fallback's scales and codes."""
+    from tensornetworksfork_tpu.ops.pallas.gram import quantize_tiled
+    rng = np.random.default_rng(11)
+    n, rows, tile = 2, 256, 128
+    Jt = jnp.asarray(rng.standard_normal((n, rows, tile)), jnp.bfloat16)
+    Qk, sk = quantize_tiled(Jt, block=128, interpret=True)
+    Qx, sx = quantize_tiled(Jt, block=128, interpret=False)
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-6)
+    # codes may differ by 1 on exact rounding boundaries (the two lowerings
+    # associate j * (1/s) differently); anything more is a real bug
+    diff = np.abs(np.asarray(Qk, np.int32) - np.asarray(Qx, np.int32))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.01

@@ -288,3 +288,49 @@ def test_mesh_tiled_kmix_matches_single(monkeypatch):
         np.testing.assert_allclose(np.asarray(p_mesh[0][k]),
                                    np.asarray(p_single[0][k]),
                                    rtol=5e-3, atol=5e-3)
+
+
+def _params_close_int8(p_mesh, p_single):
+    # NOT bit-identical: sharding changes the quantization blocks (each
+    # shard's absmax scales differ from the single-device blocks), so the
+    # two runs see different quantization noise. Equality here is
+    # statistical — both must land within int8-rounding distance.
+    for k in p_single:
+        np.testing.assert_allclose(np.asarray(p_mesh[k]),
+                                   np.asarray(p_single[k]),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_mesh_tiled_int8_matches_single(monkeypatch):
+    """TNF_GRAM_DTYPE=int8 under a 1-D data mesh: the per-shard quantize +
+    int8 pair kernels run inside shard_map with a psum on the raw (A, b).
+    Sharded == single-device (both on the int8 tier), and the quantized
+    route is actually taken on both."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.ops.pallas.gram import CALLS
+
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "int8")
+    # N=3: the middle core is packed-eligible (the N=2 layer's nodes all
+    # fall back to gram_and_rhs, which has no quantized form)
+    layer = TensorConvolutionTrainLayer(3, 4, 5, 3, output_shape=(3,),
+                                        convolution_bond=2, seed=1)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((32, 5, 3)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 32)])
+    cfg = SweepConfig(num_swipes=1, batch_size=16, method="ridge_cholesky",
+                      eps=0.5)
+    before = CALLS["gram_pair_q"]
+    p_single, ok1 = Sweeper(Network(layer.topology, use_pallas=True),
+                            XEBregman(w=1.0), cfg).run([layer.params], x, y)
+    assert CALLS["gram_pair_q"] > before
+    net = Network(layer.topology, use_pallas=True)
+    before = CALLS["gram_pair_q"]
+    p_mesh, ok2 = Sweeper(net, XEBregman(w=1.0), cfg).run(
+        [layer.params], x, y, mesh=make_mesh(8))
+    assert CALLS["gram_pair_q"] > before
+    assert ok1 and ok2
+    _params_close_int8(p_mesh[0], p_single[0])
