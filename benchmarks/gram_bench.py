@@ -20,6 +20,19 @@ Round-3 slope-timed (RTT excluded): XLA flat dot bf16 52.8 ms | packed
 grid (gram_pair symmetric) 42.6; `tiledbf16` runs the production route
 (retile + slab K build + packed-tiled kernel, raw output). tile=1024
 exceeds VMEM at block 512.
+
+int8 tier (round 3, slope-timed): qkernelonly (int8 packed pair kernel
+alone) 18.2 ms vs 30.5 bf16; quantonly (single-pass Pallas quantizer)
+1.4 ms/operand at 1059 GB/s (the XLA lowering ran 9.6 ms at 157 GB/s);
+qstage2 (quant x2 + kernel on pre-tiled operands) 20.8; qstage3 (full
+chain with a trivial K) 32.7. CAUTION: `tiledq` (full chain with the
+XLA K einsum) measures 198 ms — the einsum composed with three Pallas
+calls hits an XLA scheduling/layout pathology (the parts sum to ~37;
+qstage1 = einsum + quantize alone is 21.7). The ENGINE's production
+path builds K with the fused kmix kernel instead, which avoids the
+composition entirely (benchmarks/update_bench.py is the engine-level
+evidence); the TNF_KMIX=0 fallback keeps the bf16 kernels for exactly
+this reason.
 """
 import os
 import sys
@@ -204,6 +217,53 @@ def main():
             Q1, s1 = quantize_tiled(Jt, block)
             Q2, s2 = quantize_tiled(Kt, block)
             return gram_pair_tiled_q(Q1, s1, Q2, s2, tile=tile)
+    elif variant.startswith("qstage"):
+        # stage attribution of the int8 route: qstage1 = retile + K build
+        # + both quantize kernels (no Gram); qstage2 = quantize both +
+        # q-kernel on PRE-TILED bf16 operands (no retile/K build)
+        from tensornetworksfork_tpu.ops.pallas.gram import (
+            gram_pair_tiled_q, plan_tiles, quantize_tiled, retile_rows)
+        tile, block, n, Dp = plan_tiles(D, 2)
+        if variant == "qstage3":
+            # full chain minus the K einsum (trivial K): isolates whether
+            # the einsum's interaction with the kernels causes the tiledq
+            # pathology
+            @jax.jit
+            def f(J, H):
+                Jt = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D),
+                                 n, tile)
+                Kt = Jt * jnp.bfloat16(1.5)
+                Q1, s1 = quantize_tiled(Jt, block)
+                Q2, s2 = quantize_tiled(Kt, block)
+                return gram_pair_tiled_q(Q1, s1, Q2, s2, tile=tile)
+        elif variant == "qstage1":
+            @jax.jit
+            def f(J, H):
+                Jt = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D),
+                                 n, tile)
+                Kt = jnp.einsum("scd,nsdt->nsct", H.astype(jnp.bfloat16),
+                                Jt.reshape(n, B, C, tile),
+                                precision=jax.lax.Precision.DEFAULT,
+                                ).reshape(n, B * C, tile)
+                Q1, s1 = quantize_tiled(Jt, block)
+                Q2, s2 = quantize_tiled(Kt, block)
+                return Q1, s1, Q2, s2
+        else:  # qstage2
+            Jt0 = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D),
+                              n, tile)
+            Kt0 = Jt0 * 1.5
+
+            @jax.jit
+            def fq(Jt, Kt):
+                Q1, s1 = quantize_tiled(Jt, block)
+                Q2, s2 = quantize_tiled(Kt, block)
+                return gram_pair_tiled_q(Q1, s1, Q2, s2, tile=tile)
+
+            t = timeit(fq, Jt0, Kt0)
+            ts = slope_timeit(fq, Jt0, Kt0)
+            print(f"{variant}: D={D}  single-call {t*1e3:.1f} ms | "
+                  f"slope {ts*1e3:.1f} ms")
+            return
     elif variant.startswith("qkernelonly"):
         # the int8 packed pair kernel alone on pre-quantized operands
         from tensornetworksfork_tpu.ops.pallas.gram import (

@@ -810,12 +810,15 @@ class Network:
                     Kt = jnp.einsum(
                         "scd,nsdt->nsct", H2, Jt.reshape(n, Ss, C_sz, tile),
                         precision=dot_prec).reshape(n, rows, tile)
-                    if quant:
-                        A = qpair(Jt, Kt)
-                    else:
-                        A = gram_pair_tiled(Jt, Kt, interpret=interp,
-                                            tile=tile, block=block,
-                                            mirror=mirror, acc=acc_s)
+                    # int8 stays OFF on this branch: the XLA K einsum
+                    # composed with the quantize + Gram kernels hits an
+                    # XLA scheduling/layout pathology (198 vs ~37 ms at
+                    # the flagship shape — benchmarks/gram_bench.py
+                    # tiledq vs qstage3); the kmix branch's fused K build
+                    # avoids the composition
+                    A = gram_pair_tiled(Jt, Kt, interpret=interp,
+                                        tile=tile, block=block,
+                                        mirror=mirror, acc=acc_s)
                 return A, b
 
             J3v = J3.reshape(S_sz, C_sz, D)

@@ -507,7 +507,15 @@ def test_engine_gram_dtype_int8(monkeypatch):
                 pjq = net_q.packed_jacobian(ni, params, inputs, L, R)
                 before = CALLS["gram_pair_q"]
                 A2, b2 = net_q.packed_gram_rhs(pjq, g, H)
-                assert CALLS["gram_pair_q"] > before
+                # the no-kmix full-Hessian branch keeps the bf16 kernels
+                # (the XLA K einsum composed with the quantize/Gram
+                # kernels is an XLA pathology — engine comment); every
+                # other tiled form must take the quantized kernel
+                diag_loss = isinstance(loss_fn, SquareBregFunction)
+                if kmix == "1" or diag_loss:
+                    assert CALLS["gram_pair_q"] > before
+                else:
+                    assert CALLS["gram_pair_q"] == before
                 checked += 1
                 scale = float(np.abs(np.asarray(A1)).max())
                 np.testing.assert_allclose(np.asarray(A2) / scale,
