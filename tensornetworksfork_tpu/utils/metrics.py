@@ -78,9 +78,13 @@ def append_results_csv(results: Dict, path: str) -> None:
     if rewrite:
         # header extended: rewrite under the new header even when the file
         # holds no data rows yet (appending under the old header would
-        # misalign this and every later row)
+        # misalign this and every later row). Legacy rows longer than the
+        # header (written by the pre-fix appender) surface their overflow
+        # under DictReader's None rest-key — DictWriter refuses None (and a
+        # mid-rewrite crash truncates the file), so drop it.
         with open(path, newline="") as f:
-            rows = list(csv.DictReader(f))
+            rows = [{k: v for k, v in r.items() if k is not None}
+                    for r in csv.DictReader(f)]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     mode = "a" if (has_header and not rewrite) else "w"
     with open(path, mode, newline="") as f:

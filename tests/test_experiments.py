@@ -369,3 +369,30 @@ def test_append_results_csv_extends_header_without_aliasing(tmp_path):
     assert rows[0]["test_accuracy"] == "0.9"
     assert rows[1]["test_r2"] == "0.5" and rows[1]["test_accuracy"] == ""
     assert rows[2]["test_accuracy"] == "0.7" and rows[2]["test_r2"] == ""
+
+
+def test_append_results_csv_tolerates_legacy_overlong_rows(tmp_path):
+    """A header-extending append on a file holding LEGACY rows longer than
+    the header (written by the pre-fix appender) must not crash: DictReader
+    surfaces the overflow under its None rest-key, which DictWriter refuses
+    — and the resulting mid-rewrite crash TRUNCATED the evidence file
+    (results/reproduce_digits.csv, caught live in round 3)."""
+    import csv
+
+    from tensornetworksfork_tpu.utils.metrics import append_results_csv
+
+    p = str(tmp_path / "legacy.csv")
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["dataset", "acc"])          # 2-col header
+        w.writerow(["iris", "0.9", "stray"])    # 3-value legacy row
+        w.writerow(["wine", "0.8"])
+    append_results_csv({"dataset": "digits", "acc": 0.7, "method": "cg"}, p)
+    rows = list(csv.DictReader(open(p)))
+    assert [r["dataset"] for r in rows] == ["iris", "wine", "digits"]
+    assert rows[2]["method"] == "cg"
+    # every row now has exactly the extended header's width (the appender
+    # also auto-adds a timestamp column)
+    with open(p, newline="") as f:
+        widths = {len(r) for r in csv.reader(f)}
+    assert widths == {4}
