@@ -28,13 +28,17 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
-# Benchmark mode: bf16 Gram operands + single-pass aux tier (env chains,
-# J builds, predictions, rhs) with f32 accumulation + full-f32 solves.
-# Accuracy-validated — the 10-seed digits replication is identical to the
-# f32 mode (96.55 ± 1.13 % both, results/digits_validation.csv vs
-# results/digits_bf16aux.csv); the JSON records gram_dtype/aux. Unset via
+# Benchmark mode: int8-quantized Gram operands (per-block absmax scales,
+# exact int32 block dots rescaled to f32 in-kernel) + single-pass bf16 aux
+# tier (env chains, J builds, predictions, rhs) with f32 accumulation +
+# full-f32 solves. Accuracy-validated — the 10-seed digits replication with
+# the int8 route forced onto every packed node matches the f32/bf16 tiers:
+# mean 96.55 % unchanged, 8/10 seeds per-seed EXACT, ±1 test sample on the
+# other two (results/reproduce_digits.csv 2026-08-19 block vs
+# digits_bf16_final_r3.csv); the bf16 tier (TNF_GRAM_DTYPE=bf16) is
+# per-seed identical to f32. The JSON records gram_dtype/aux. Unset via
 # TNF_GRAM_DTYPE=f32 TNF_AUX_PRECISION=highest for full-f32 numerics.
-os.environ.setdefault("TNF_GRAM_DTYPE", "bf16")
+os.environ.setdefault("TNF_GRAM_DTYPE", "int8")
 os.environ.setdefault("TNF_AUX_PRECISION", "default")
 import jax  # noqa: E402
 
