@@ -23,16 +23,15 @@ exceeds VMEM at block 512.
 
 int8 tier (round 3, slope-timed): qkernelonly (int8 packed pair kernel
 alone) 18.2 ms vs 30.5 bf16; quantonly (single-pass Pallas quantizer)
-1.4 ms/operand at 1059 GB/s (the XLA lowering ran 9.6 ms at 157 GB/s);
+1.4 ms/operand at 635 GB/s (3 B/elem: one bf16 read + int8 write; the
+two-pass XLA lowering ran 9.6 ms);
 qstage2 (quant x2 + kernel on pre-tiled operands) 20.8; qstage3 (full
-chain with a trivial K) 32.7. CAUTION: `tiledq` (full chain with the
-XLA K einsum) measures 198 ms — the einsum composed with three Pallas
-calls hits an XLA scheduling/layout pathology (the parts sum to ~37;
-qstage1 = einsum + quantize alone is 21.7). The ENGINE's production
-path builds K with the fused kmix kernel instead, which avoids the
-composition entirely (benchmarks/update_bench.py is the engine-level
-evidence); the TNF_KMIX=0 fallback keeps the bf16 kernels for exactly
-this reason.
+chain with a trivial K) 32.7; `tiledq` (full chain with the XLA K
+einsum) 39.9 ms. NOTE: an earlier 198 ms tiledq reading was a dispatch
+bug in THIS script — variant.startswith("tiled") shadowed the tiledq
+branch and timed the f32 production route under the int8 label. The
+real int8+einsum composition is faster than the bf16 one (tiledbf16),
+so the engine runs int8 on the TNF_KMIX=0 fallback too.
 """
 import os
 import sys
@@ -180,7 +179,7 @@ def main():
             return jax.lax.dot_general(
                 H, J, (((1,), (1,)), ((0,), (0,))),
                 precision=jax.lax.Precision.DEFAULT)
-    elif variant.startswith("tiled"):
+    elif variant.startswith("tiled") and not variant.startswith("tiledq"):
         # the PRODUCTION single-chip route (engine.packed_gram_rhs): retile
         # J once to (n, rows, tile) slabs feeding the slab-wise K build and
         # the packed-tiled kernel (raw output, mirror deferred)
@@ -225,9 +224,8 @@ def main():
             gram_pair_tiled_q, plan_tiles, quantize_tiled, retile_rows)
         tile, block, n, Dp = plan_tiles(D, 2)
         if variant == "qstage3":
-            # full chain minus the K einsum (trivial K): isolates whether
-            # the einsum's interaction with the kernels causes the tiledq
-            # pathology
+            # full chain minus the K einsum (trivial K): isolates the
+            # einsum's contribution to the tiledq composition
             @jax.jit
             def f(J, H):
                 Jt = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D),
@@ -284,7 +282,8 @@ def main():
               f"slope {ts*1e3:.1f} ms  {flops/ts/1e12:.1f} TFLOP/s")
         return
     elif variant.startswith("quantonly"):
-        # the quantization pass alone (2 reads + int8 write of Jt)
+        # the quantization pass alone: the Pallas kernel is single-pass —
+        # one bf16 read + int8 write (+ negligible scales)
         from tensornetworksfork_tpu.ops.pallas.gram import (plan_tiles,
                                                             quantize_tiled,
                                                             retile_rows)
@@ -297,7 +296,7 @@ def main():
 
         t = timeit(fz, Jt0)
         ts = slope_timeit(fz, Jt0)
-        gb = B * C * Dp * (2 + 2 + 1) / 1e9
+        gb = B * C * Dp * (2 + 1) / 1e9
         print(f"{variant}: D={D}  single-call {t*1e3:.1f} ms | "
               f"slope {ts*1e3:.1f} ms  {gb/ts:.0f} GB/s")
         return

@@ -784,11 +784,16 @@ class Network:
                 if diag:
                     if quant:
                         # no fused-weighting int8 form (the f32 weight can't
-                        # ride an int8 operand): materialise K = h*J in f32
-                        # and quantize it — K's scales absorb the weighting
+                        # ride an int8 operand): materialise K = h*J and
+                        # quantize it — K's scales absorb the weighting.
+                        # K must be the SAME dtype as Jt: quantize_tiled's
+                        # VMEM clamp is itemsize-dependent, and the pair
+                        # kernel requires both operands to share one
+                        # sample-block size (an f32 K halves its block at
+                        # the bf16-planned shape, misaligning the scales)
                         hr = hess_s.reshape(rows).astype(jnp.float32)
-                        A = qpair(Jt, Jt.astype(jnp.float32)
-                                  * hr[None, :, None])
+                        A = qpair(Jt, (Jt.astype(jnp.float32)
+                                       * hr[None, :, None]).astype(Jt.dtype))
                     else:
                         # fused weighting: the H-weighted copy of J never
                         # hits HBM
@@ -810,15 +815,17 @@ class Network:
                     Kt = jnp.einsum(
                         "scd,nsdt->nsct", H2, Jt.reshape(n, Ss, C_sz, tile),
                         precision=dot_prec).reshape(n, rows, tile)
-                    # int8 stays OFF on this branch: the XLA K einsum
-                    # composed with the quantize + Gram kernels hits an
-                    # XLA scheduling/layout pathology (198 vs ~37 ms at
-                    # the flagship shape — benchmarks/gram_bench.py
-                    # tiledq vs qstage3); the kmix branch's fused K build
-                    # avoids the composition
-                    A = gram_pair_tiled(Jt, Kt, interpret=interp,
-                                        tile=tile, block=block,
-                                        mirror=mirror, acc=acc_s)
+                    # (an earlier "198 ms XLA pathology" that gated int8
+                    # off this branch was a benchmark dispatch bug — the
+                    # f32 route mislabeled tiledq; the real int8+einsum
+                    # composition measures 39.9 ms vs bf16's 49.6 at the
+                    # flagship shape, benchmarks/gram_bench.py tiledq)
+                    if quant:
+                        A = qpair(Jt, Kt)
+                    else:
+                        A = gram_pair_tiled(Jt, Kt, interpret=interp,
+                                            tile=tile, block=block,
+                                            mirror=mirror, acc=acc_s)
                 return A, b
 
             J3v = J3.reshape(S_sz, C_sz, D)

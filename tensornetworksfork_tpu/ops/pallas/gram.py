@@ -95,7 +95,9 @@ def gram_quant() -> bool:
     before accumulation, so the only loss is the operand rounding (~2x the
     bf16 rounding error, averaged down over the sample dimension).
     Accuracy is workload-dependent: gate with a replication run before
-    adopting (bf16 stays the bench default)."""
+    adopting on a new workload. int8 is the bench default (gated by the
+    10-seed digits replication — mean unchanged vs f32); TNF_GRAM_DTYPE=bf16
+    or f32 revert."""
     return os.environ.get("TNF_GRAM_DTYPE", "f32").lower() == "int8"
 
 
@@ -889,6 +891,14 @@ def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
 
 def gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=False, tile=512,
                       mirror=False):
+    if Q1.shape != Q2.shape or s1.shape != s2.shape:
+        # the kernel derives ONE sample-block size from s1 and indexes both
+        # scale arrays with it — operands quantized with different blocks
+        # (e.g. quantize_tiled's itemsize-dependent VMEM clamp on a bf16 /
+        # f32 pair) would silently rescale with the wrong absmax
+        raise ValueError(
+            f"int8 Gram operands must share one quantization layout: "
+            f"Q {Q1.shape} vs {Q2.shape}, scales {s1.shape} vs {s2.shape}")
     CALLS["gram_pair_q"] += 1
     return _gram_pair_tiled_q_jit(Q1, s1, Q2, s2, interpret=interpret,
                                   tile=tile, mirror=mirror)

@@ -1,6 +1,7 @@
 """Pallas kernel oracles: weighted Gram vs einsum, engine integration."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tensornetworksfork_tpu.ops.pallas.gram import weighted_gram
 
@@ -462,6 +463,29 @@ def test_gram_pair_tiled_q_matches_int_reference():
     np.testing.assert_allclose(np.asarray(A), ref, rtol=1e-5, atol=1e-5)
 
 
+def test_gram_pair_tiled_q_rejects_mismatched_blocks():
+    """quantize_tiled's VMEM clamp is itemsize-dependent: at the flagship
+    (tile=512, block=2048) a bf16 operand keeps BS=2048 while an f32 one
+    halves to 1024, so the scale arrays disagree on the block count. The
+    pair kernel derives ONE block size from s1 — mixed layouts must fail
+    loudly (they used to silently rescale with the wrong absmax; the
+    engine's diag path now casts K to Jt's dtype before quantizing)."""
+    from tensornetworksfork_tpu.ops.pallas.gram import (gram_pair_tiled_q,
+                                                        quantize_tiled)
+    rng = np.random.default_rng(11)
+    rows, tile = 2048, 512
+    J = jnp.asarray(rng.standard_normal((1, rows, tile)), jnp.bfloat16)
+    K = jnp.asarray(rng.standard_normal((1, rows, tile)), jnp.float32)
+    Q1, s1 = quantize_tiled(J, block=2048)
+    Q2, s2 = quantize_tiled(K, block=2048)
+    assert s1.shape[1] != s2.shape[1]  # the divergence this guards against
+    with pytest.raises(ValueError, match="quantization layout"):
+        gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=True, tile=tile)
+    # the engine-side fix: quantizing K at Jt's dtype restores agreement
+    Q2b, s2b = quantize_tiled(K.astype(J.dtype), block=2048)
+    assert Q2b.shape == Q1.shape and s2b.shape == s1.shape
+
+
 def test_engine_gram_dtype_int8(monkeypatch):
     """TNF_GRAM_DTYPE=int8 on the tiled route: A/b must track the f32 path
     to quantization-level error, and the q-kernel must actually be taken
@@ -507,15 +531,10 @@ def test_engine_gram_dtype_int8(monkeypatch):
                 pjq = net_q.packed_jacobian(ni, params, inputs, L, R)
                 before = CALLS["gram_pair_q"]
                 A2, b2 = net_q.packed_gram_rhs(pjq, g, H)
-                # the no-kmix full-Hessian branch keeps the bf16 kernels
-                # (the XLA K einsum composed with the quantize/Gram
-                # kernels is an XLA pathology — engine comment); every
-                # other tiled form must take the quantized kernel
-                diag_loss = isinstance(loss_fn, SquareBregFunction)
-                if kmix == "1" or diag_loss:
-                    assert CALLS["gram_pair_q"] > before
-                else:
-                    assert CALLS["gram_pair_q"] == before
+                # every tiled form (kmix fused K, no-kmix einsum K, and
+                # the diagonal-Hessian weighted form) takes the quantized
+                # kernel under TNF_GRAM_DTYPE=int8
+                assert CALLS["gram_pair_q"] > before
                 checked += 1
                 scale = float(np.abs(np.asarray(A1)).max())
                 np.testing.assert_allclose(np.asarray(A2) / scale,
