@@ -89,6 +89,7 @@ def _numeric_env_key():
             os.environ.get("TNF_FULLBATCH_MAX_BYTES", ""),
             os.environ.get("TNF_KMIX", "1"),
             os.environ.get("TNF_KMIX_BLOCK", ""),
+            os.environ.get("TNF_OWNOUT_DEFER", "1"),
             os.environ.get("TNF_ENV_STAGED", "1"),
             os.environ.get("TNF_ENV_STAGED_MAX_BYTES", ""))
 
@@ -692,6 +693,24 @@ class Sweeper:
                 # upper-tiles-only Pallas add (engine.packed_gram_pad).
                 pad = (net.packed_gram_pad(pj0)
                        if pj0 is not None and not in_kernel_acc else None)
+                # Trace-time probe for the structured own-out deferral
+                # (engine.gram_and_rhs defer_ownout): when the node takes
+                # that path, the scan carries the RAW (P, DJ, DJ) upper
+                # class-pair blocks — C(C+1)/2 instead of C² — and the full
+                # node² A is expanded ONCE before the solve. Probe values
+                # are DCE'd; only the carry shape and the static plan live.
+                ownout = {"plan": None}
+                if pj0 is None:
+                    J0 = jac(probe, params)
+                    pred0 = net.predict_from_jacobian(ni, J0, core)
+                    if use_rest:
+                        pred0 = pred0 + probe["rest"]
+                    l0, g0, H0 = loss_fn(pred0, probe["y"])
+                    l0, g0, H0 = weighted(l0, g0, H0, probe["w"])
+                    A_p, _ = net.gram_and_rhs(ni, J0, g0, H0,
+                                              defer_ownout=ownout)
+                    if ownout["plan"] is not None:
+                        A0 = jnp.zeros(A_p.shape, core.dtype)
                 if A0 is None:
                     if pad is not None:
                         A0 = jnp.zeros((pad[0], pad[0]), jnp.float32)
@@ -727,8 +746,12 @@ class Sweeper:
                         A, b, deferred["mirror"] = net.packed_gram_rhs(
                             pj, g, H, defer_mirror=True)
                     else:
-                        A, b = net.gram_and_rhs(ni, J, g, H)
-                        A = A.reshape(D, D)
+                        A, b = net.gram_and_rhs(
+                            ni, J, g, H,
+                            defer_ownout=(ownout if ownout["plan"]
+                                          is not None else None))
+                        if ownout["plan"] is None:
+                            A = A.reshape(D, D)
                         b = b.reshape(D)
                     if pad is not None:
                         from ..ops.pallas.gram import (_on_tpu,
@@ -744,6 +767,8 @@ class Sweeper:
                 if deferred["mirror"]:
                     from ..ops.pallas.gram import mirror_gram
                     A = mirror_gram(A)
+                if ownout["plan"] is not None:
+                    A = net.expand_ownout(A, ownout["plan"]).reshape(D, D)
                 step, ok = solve_block(A, b, core, method, eps, cfg.refine)
                 new_core = apply_update(core, step.reshape(core.shape),
                                         cfg.lr, cfg.adaptive_step,

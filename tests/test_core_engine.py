@@ -457,3 +457,73 @@ def test_env_step_staged_role_choice_big_bond(monkeypatch):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_ownout_defer_matches_full(monkeypatch):
+    """Deferred own-out Gram: raw upper class-pair accumulation + one-time
+    expansion (engine.gram_and_rhs defer_ownout / expand_ownout, carried
+    through the sweep's chunk scan) must reproduce the full-C² structured
+    path — engine-level on one chunk, and end-to-end through a multi-chunk
+    sweep with TNF_OWNOUT_DEFER on vs off."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.core.sweep import accumulating_sweep
+
+    layer = TensorConvolutionTrainLayer(3, 4, 10, 5, output_shape=(3,),
+                                        convolution_bond=2, seed=0)
+    t = layer.network.topology
+    net = Network(t, use_pallas=False)
+    ni = t.by_name["A1"]
+    ci = t.col_of[ni]
+    rng = np.random.default_rng(3)
+    B = 32
+    x = jnp.asarray(rng.standard_normal((B, 10, 5)), jnp.float32)
+    inputs = net.bind_inputs(x)
+    envs_l = net.env_chain(layer.params, inputs, "left")
+    envs_r = net.env_chain(layer.params, inputs, "right")
+    L = envs_l[ci - 1] if ci > 0 else None
+    R = envs_r[ci + 1] if ci < len(t.columns) - 1 else None
+    J = net.jacobian(ni, layer.params, inputs, L, R)
+    core = layer.params[t.nodes[ni].name]
+    pred = net.predict_from_jacobian(ni, J, core)
+    y1h = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, B)])
+    _, g, H = XEBregman(w=1.0)(pred, y1h)
+    A_full, b_full = net.gram_and_rhs(ni, J, g, H)
+    cell = {"plan": None}
+    A_raw, b_raw = net.gram_and_rhs(ni, J, g, H, defer_ownout=cell)
+    assert cell["plan"] is not None
+    C = cell["plan"][0]
+    assert A_raw.shape[0] == C * (C + 1) // 2  # pair blocks, not C²
+    A_exp = net.expand_ownout(A_raw, cell["plan"])
+    assert A_exp.shape == A_full.shape
+    np.testing.assert_allclose(np.asarray(A_exp), np.asarray(A_full),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_raw), np.asarray(b_full),
+                               rtol=1e-6, atol=1e-7)
+    # cross-class blocks of the expansion are bit-identical transposed
+    # copies of their upper mirror; diagonal class blocks are symmetric to
+    # rounding only (same as the full path — their [d, d'] and [d', d]
+    # entries come from different product orders)
+    D = core.size
+    A2 = np.asarray(A_exp).reshape(D, D)
+    np.testing.assert_allclose(A2, A2.T, rtol=1e-5, atol=1e-7)
+
+    # end-to-end: multi-chunk sweep (full-batch merge disabled so the scan
+    # really carries the raw accumulator across chunks)
+    monkeypatch.setenv("TNF_FULLBATCH_MAX_BYTES", "0")
+    S = 64
+    X = jnp.asarray(rng.standard_normal((S, 10, 5)), jnp.float32)
+    Y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, S)])
+    cfg = SweepConfig(num_swipes=2, method="ridge_cholesky", eps=1e-1,
+                      batch_size=16)
+    layer2 = TensorConvolutionTrainLayer(3, 4, 10, 5, output_shape=(3,),
+                                         convolution_bond=2, seed=1)
+    monkeypatch.setenv("TNF_OWNOUT_DEFER", "0")
+    p_ref, ok0 = accumulating_sweep(layer2.network, layer2.params, X, Y,
+                                    XEBregman(w=1.0), cfg)
+    monkeypatch.setenv("TNF_OWNOUT_DEFER", "1")
+    p_def, ok1 = accumulating_sweep(layer2.network, layer2.params, X, Y,
+                                    XEBregman(w=1.0), cfg)
+    assert ok0 and ok1
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_def[k]), np.asarray(p_ref[k]),
+                                   rtol=5e-4, atol=5e-5)
