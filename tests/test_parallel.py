@@ -334,3 +334,46 @@ def test_mesh_tiled_int8_matches_single(monkeypatch):
     assert CALLS["gram_pair_q"] > before
     assert ok1 and ok2
     _params_close_int8(p_mesh[0], p_single[0])
+
+
+def test_mesh_ownout_defer_matches_single(monkeypatch):
+    """The deferred own-out Gram (engine.gram_and_rhs defer_ownout) under a
+    1-D data mesh: the raw upper class-pair dot contracts over the SHARDED
+    sample axis (GSPMD inserts the psum), the scan carries the raw (P, DJ,
+    DJ) accumulator, and expand_ownout runs once on the replicated result.
+    Asserts the deferral is actually TAKEN on both runs (spy on
+    expand_ownout) and sharded == single-device."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import (
+        TensorConvolutionTrainLayer)
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+
+    monkeypatch.setenv("TNF_OWNOUT_DEFER", "1")
+    calls = {"n": 0}
+    orig = Network.expand_ownout
+
+    def spy(A_raw, plan):
+        calls["n"] += 1
+        return orig(A_raw, plan)
+
+    monkeypatch.setattr(Network, "expand_ownout", staticmethod(spy))
+    layer = TensorConvolutionTrainLayer(3, 4, 5, 3, output_shape=(3,),
+                                        convolution_bond=2, seed=2)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((64, 5, 3)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 64)])
+    cfg = SweepConfig(num_swipes=2, batch_size=32, method="ridge_cholesky",
+                      eps=0.5)
+    p_single, ok1 = Sweeper(Network(layer.topology, use_pallas=False),
+                            XEBregman(w=1.0), cfg).run([layer.params], x, y)
+    assert calls["n"] > 0, "single-device run never took the deferral"
+    calls["n"] = 0
+    p_mesh, ok2 = Sweeper(Network(layer.topology, use_pallas=False),
+                          XEBregman(w=1.0), cfg).run(
+        [layer.params], x, y, mesh=make_mesh(8))
+    assert calls["n"] > 0, "mesh run never took the deferral"
+    assert ok1 and ok2
+    for k in p_single[0]:
+        np.testing.assert_allclose(np.asarray(p_mesh[0][k]),
+                                   np.asarray(p_single[0][k]),
+                                   rtol=5e-3, atol=5e-3)
