@@ -743,12 +743,39 @@ class Network:
             # the acc variant isn't quantized (TNF_PALLAS_ACC is default
             # off and measured neutral).
             quant = gd is not None and gram_quant() and acc is None
+            # Merged int8 tiles (TNF_INT8_MERGE=1 opts in): the quantizer
+            # fuses two ADJACENT D-slabs into one 1024-wide int8 tile for
+            # free (per-column scales are width-independent — bit-identical
+            # quantization), and the packed pair grid's slab traffic scales
+            # as D/tile, so the Gram kernel's DMA would halve (a standalone
+            # tile-1024 grid once measured 14.8 vs 18.4 ms,
+            # benchmarks/int8_tile1024_probe.py). Only the int8 kernel sees
+            # the wide tiles — the shared bf16 slabs (kmix / rhs / retile
+            # consumers) stay at the narrow tile. Dp is unchanged
+            # ((n/2)·2·tile), so the raw-upper chunk accumulation
+            # (add_packed_upper at the narrow tile — a subset of the
+            # written coarse-upper tiles: k<=i implies k//2<=i//2) and the
+            # final triu mirror are untouched. OPT-IN, default OFF: the
+            # tile-1024 pair kernel's out tile + int32/f32 dot temps are
+            # 3 x 4 MB of VMEM before the operand windows, and on re-test
+            # (2026-08-19 evening, benchmarks/int8_merge_probe.py) the
+            # probe's (1024, 1024) plan no longer compiles (Mosaic
+            # compile-helper failure) while the compilable 512-row sample
+            # block measures 22.2 ms — SLOWER than the narrow plan's 18.4
+            # (4x the grid visits eat the DMA saving). Semantics are
+            # interpret-verified (tests/test_pallas.py merge tests).
+            qmerge = (2 if quant and n % 2 == 0 and tile == 512
+                      and os.environ.get("TNF_INT8_MERGE", "0") == "1"
+                      else 1)
+            qblock = min(block, 512) if qmerge > 1 else block
 
             def qpair(Jt_, Kt_):
-                Q1, s1 = quantize_tiled(Jt_, block, interpret=interp)
-                Q2, s2 = quantize_tiled(Kt_, block, interpret=interp)
+                Q1, s1 = quantize_tiled(Jt_, qblock, interpret=interp,
+                                        merge=qmerge)
+                Q2, s2 = quantize_tiled(Kt_, qblock, interpret=interp,
+                                        merge=qmerge)
                 return gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=interp,
-                                         tile=tile, mirror=mirror)
+                                         tile=tile * qmerge, mirror=mirror)
             # Fused retile+mix kernel (TNF_KMIX=0 reverts to the slab-wise
             # XLA K einsum): one read of J produces class-major Jt AND
             # Kt = H*J — XLA lowered the (S,C,C)x(S,C,D) mixing as an MXU

@@ -37,7 +37,7 @@ TILE = 128
 # actually taken for a given topology/shape (not just that kernels are
 # correct in isolation).
 CALLS = {"weighted_gram": 0, "gram_pair": 0, "add_packed_upper": 0,
-         "gram_pair_q": 0}
+         "gram_pair_q": 0, "quant_merge": 0}
 
 
 def _on_tpu() -> bool:
@@ -771,16 +771,43 @@ def _quant_kernel(j_ref, q_ref, s_ref):
     s_ref[0, 0] = s
 
 
-def quantize_tiled(Jt: jax.Array, block: int, interpret: bool = False):
+def _make_quant_merge_kernel(merge: int, tile: int):
+    """_quant_kernel over a (merge, BS, tile) input block, emitting ONE
+    (BS, merge*tile) int8 block: adjacent D-slabs fuse into a wider output
+    tile inside the quantizer itself (per-column scales are tile-width
+    independent, so the values are bit-identical to merge=1). Each source
+    slab writes its own static lane range — no in-kernel concatenate."""
+    def kernel(j_ref, q_ref, s_ref):
+        for i in range(merge):
+            j = j_ref[i].astype(jnp.float32)
+            m = jnp.max(jnp.abs(j), axis=0, keepdims=True)  # (1, tile)
+            s = jnp.where(m > 0.0, m / 127.0, 1.0)
+            q_ref[0, :, i * tile:(i + 1) * tile] = (
+                jnp.round(j * (1.0 / s)).astype(jnp.int8))
+            s_ref[0, 0, :, i * tile:(i + 1) * tile] = s
+    return kernel
+
+
+def quantize_tiled(Jt: jax.Array, block: int, interpret: bool = False,
+                   merge: int = 1):
     """Absmax int8 quantization of a PRE-TILED (n, rows, tile) operand.
 
-    Returns (Q, s): Q (n, Bp, tile) int8 with rows zero-padded up to a
-    multiple of the quantization block, s (n, nb, tile) f32 per-column
-    scales with nb = Bp / qblock. The quantization block is the Gram
-    kernel's sample block (so the kernel can rescale each block's exact
-    int32 partial with its own scales before accumulating — scales stay
-    factorable out of the in-block reduction) or, for short chunks, rows
-    rounded up to the int8 sublane granularity (32).
+    Returns (Q, s): Q (n/merge, Bp, merge*tile) int8 with rows zero-padded
+    up to a multiple of the quantization block, s (n/merge, nb, merge*tile)
+    f32 per-column scales with nb = Bp / qblock. The quantization block is
+    the Gram kernel's sample block (so the kernel can rescale each block's
+    exact int32 partial with its own scales before accumulating — scales
+    stay factorable out of the in-block reduction) or, for short chunks,
+    rows rounded up to the int8 sublane granularity (32).
+
+    merge > 1 fuses that many ADJACENT D-slabs into one wider output tile
+    at zero extra cost (the quantizer reads the same bytes either way;
+    requires n % merge == 0). The int8 Gram kernel's slab traffic scales
+    as D/tile, so feeding it merge=2 tiles (1024-wide at the default plan)
+    cuts its DMA ~2x while the shared bf16 layout (kmix / rhs / retile
+    consumers) stays at the narrow tile — the wiring the tile-1024 probe
+    (benchmarks/int8_tile1024_probe.py) left as follow-up. Scales are
+    per-column, so merged quantization is bit-identical to merge=1.
 
     Scale granularity per (slab, block, column): finer than per-chunk
     columns at zero extra cost — the max is a per-block reduction either
@@ -793,12 +820,18 @@ def quantize_tiled(Jt: jax.Array, block: int, interpret: bool = False):
     so a quantizer block different from the Gram kernel's sample block
     still composes correctly."""
     n, rows, tile = Jt.shape
+    if n % merge != 0:
+        raise ValueError(f"merge {merge} must divide the slab count {n}")
+    if merge > 1:
+        CALLS["quant_merge"] += 1
+    nm, tw = n // merge, merge * tile
     BS = block if rows >= block else ((rows + 31) // 32) * 32
     # VMEM clamp: triple-buffered input + int8 out + the kernel's f32
     # temp of the block (f32 inputs — the diag route's h*J — would
-    # overflow the core at the bf16-planned 2048-row block)
+    # overflow the core at the bf16-planned 2048-row block); sized on the
+    # merged output width (the input block carries the same bytes)
     isz = jnp.dtype(Jt.dtype).itemsize
-    while BS > 256 and (3 * BS * tile * (isz + 1) + 4 * BS * tile
+    while BS > 256 and (3 * BS * tw * (isz + 1) + 4 * BS * tile
                         > VMEM_BUDGET):
         BS //= 2
     Bp = ((rows + BS - 1) // BS) * BS
@@ -809,23 +842,29 @@ def quantize_tiled(Jt: jax.Array, block: int, interpret: bool = False):
         # scales carry a trailing singleton so the (1, tile) block obeys
         # Mosaic's minor-dims rule ((1, 1, tile) blocks of an (n, nb, tile)
         # array do not: second-minor 1 != nb)
+        kernel = (_quant_kernel if merge == 1
+                  else _make_quant_merge_kernel(merge, tile))
         q, s = pl.pallas_call(
-            _quant_kernel,
-            out_shape=(jax.ShapeDtypeStruct((n, Bp, tile), jnp.int8),
-                       jax.ShapeDtypeStruct((n, nb, 1, tile), jnp.float32)),
-            grid=(n, nb),
-            in_specs=[pl.BlockSpec((1, BS, tile), lambda i, b: (i, b, 0))],
-            out_specs=(pl.BlockSpec((1, BS, tile), lambda i, b: (i, b, 0)),
-                       pl.BlockSpec((1, 1, 1, tile),
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((nm, Bp, tw), jnp.int8),
+                       jax.ShapeDtypeStruct((nm, nb, 1, tw), jnp.float32)),
+            grid=(nm, nb),
+            in_specs=[pl.BlockSpec((merge, BS, tile),
+                                   lambda i, b: (i, b, 0))],
+            out_specs=(pl.BlockSpec((1, BS, tw), lambda i, b: (i, b, 0)),
+                       pl.BlockSpec((1, 1, 1, tw),
                                     lambda i, b: (i, b, 0, 0))),
             interpret=interpret,
         )(Jt)
-        return q, s.reshape(n, nb, tile)
-    J4 = Jt.reshape(n, nb, BS, tile).astype(jnp.float32)
-    m = jnp.max(jnp.abs(J4), axis=2)  # (n, nb, tile)
+        return q, s.reshape(nm, nb, tw)
+    if merge > 1:  # (n, Bp, tile) -> (nm, Bp, tw), adjacent slabs adjacent
+        Jt = jnp.transpose(Jt.reshape(nm, merge, Bp, tile),
+                           (0, 2, 1, 3)).reshape(nm, Bp, tw)
+    J4 = Jt.reshape(nm, nb, BS, tw).astype(jnp.float32)
+    m = jnp.max(jnp.abs(J4), axis=2)  # (nm, nb, tw)
     s = jnp.where(m > 0, m / 127.0, 1.0)
     q = jnp.round(J4 * (1.0 / s)[:, :, None, :]).astype(jnp.int8)
-    return q.reshape(n, Bp, tile), s
+    return q.reshape(nm, Bp, tw), s
 
 
 def _pair_kernel_tiled_q(s1_ref, s2_ref, j1_ref, j2_ref, out_ref):

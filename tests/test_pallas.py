@@ -546,6 +546,95 @@ def test_engine_gram_dtype_int8(monkeypatch):
     assert checked >= 4
 
 
+def test_quantize_tiled_merge_matches_narrow():
+    """merge=2 fuses adjacent D-slabs into one wide tile bit-exactly:
+    per-column absmax scales don't depend on tile width, so Q/s are the
+    merge=1 arrays rearranged — on both the Pallas kernel (interpret) and
+    the XLA fallback — and the int8 Gram at the doubled tile returns the
+    same mirrored A as the narrow plan (the engine's TNF_INT8_MERGE path)."""
+    from tensornetworksfork_tpu.ops.pallas.gram import (gram_pair_tiled_q,
+                                                        quantize_tiled)
+    rng = np.random.default_rng(12)
+    n, rows, tile = 4, 96, 128
+    J = jnp.asarray(rng.standard_normal((n, rows, tile)), jnp.bfloat16)
+    K = jnp.asarray(rng.standard_normal((n, rows, tile)), jnp.bfloat16)
+
+    def rearrange(Q, s):  # narrow (n, Bp, tile) -> wide (n/2, Bp, 2*tile)
+        Bp, nb = Q.shape[1], s.shape[1]
+        Qr = np.transpose(np.asarray(Q).reshape(n // 2, 2, Bp, tile),
+                          (0, 2, 1, 3)).reshape(n // 2, Bp, 2 * tile)
+        sr = np.transpose(np.asarray(s).reshape(n // 2, 2, nb, tile),
+                          (0, 2, 1, 3)).reshape(n // 2, nb, 2 * tile)
+        return Qr, sr
+
+    # bit-exactness holds within each lowering (Pallas kernel vs kernel,
+    # XLA fallback vs fallback — across lowerings codes may differ by 1 on
+    # rounding boundaries, see test_quantize_tiled_kernel_matches_xla)
+    Q1, s1 = quantize_tiled(J, block=32, interpret=True)
+    Qm, sm = quantize_tiled(J, block=32, interpret=True, merge=2)
+    Qr, sr = rearrange(Q1, s1)
+    np.testing.assert_array_equal(np.asarray(Qm), Qr)
+    np.testing.assert_array_equal(np.asarray(sm), sr)
+    Qx, sx = quantize_tiled(J, block=32)
+    Qm2, sm2 = quantize_tiled(J, block=32, merge=2)
+    Qr2, sr2 = rearrange(Qx, sx)
+    np.testing.assert_array_equal(np.asarray(Qm2), Qr2)
+    np.testing.assert_array_equal(np.asarray(sm2), sr2)
+    # wide-tile Gram == narrow-tile Gram after the mirror
+    Q2, s2 = quantize_tiled(K, block=32, interpret=True)
+    Km, tm = quantize_tiled(K, block=32, interpret=True, merge=2)
+    A_narrow = gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=True,
+                                 tile=tile, mirror=True)
+    A_wide = gram_pair_tiled_q(Qm, sm, Km, tm, interpret=True,
+                               tile=2 * tile, mirror=True)
+    np.testing.assert_allclose(np.asarray(A_wide), np.asarray(A_narrow),
+                               rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="slab count"):
+        quantize_tiled(jnp.zeros((3, 32, 128), jnp.bfloat16), block=32,
+                       merge=2)
+
+
+def test_engine_int8_merge_matches_unmerged(monkeypatch):
+    """TNF_INT8_MERGE routes a D=1024 (n=2, tile=512) node's int8 Gram
+    through ONE 1024-wide tile; A/b must match the unmerged two-slab plan
+    and the merged quantizer must actually be taken (trace-time counter)."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.models.layers import TensorTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import XEBregman
+    from tensornetworksfork_tpu.ops.pallas.gram import CALLS
+
+    layer = TensorTrainLayer(3, 16, 4, output_shape=(3,),
+                             constrict_bond=False, seed=0)
+    t = layer.topology
+    net = Network(t, use_pallas=True)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((24, 4)), jnp.float32)
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[rng.integers(0, 4, 24)])
+    params = layer.params
+    inputs = net.bind_inputs(x)
+    envs_l = net.env_chain(params, inputs, "left")
+    envs_r = net.env_chain(params, inputs, "right")
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "int8")
+    ni = t.main_nodes[1]  # A2: 16*4*16 = 1024 = 2 slabs at tile 512
+    ci = t.col_of[ni]
+    L, R = envs_l[ci - 1], envs_r[ci + 1]
+    pj = net.packed_jacobian(ni, params, inputs, L, R)
+    assert pj is not None and int(np.prod(pj["node_shape"])) == 1024
+    pred = net.packed_predict(pj, params[t.nodes[ni].name])
+    _, g, H = XEBregman(w=1.0)(pred, y)
+    monkeypatch.setenv("TNF_INT8_MERGE", "0")
+    A0, b0 = net.packed_gram_rhs(pj, g, H)
+    before = CALLS["quant_merge"]
+    monkeypatch.setenv("TNF_INT8_MERGE", "1")
+    A1, b1 = net.packed_gram_rhs(pj, g, H)
+    assert CALLS["quant_merge"] > before
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_quantize_tiled_kernel_matches_xla():
     """The single-pass Pallas quantizer (interpret) computes exactly the
     XLA fallback's scales and codes."""
