@@ -13,7 +13,11 @@ common config and scaled linearly in sample count (the algorithm is linear in
 samples). The reference publishes no timings (SURVEY.md §6), so its own
 computational pattern on the torch stack is the baseline.
 
-Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+Stdout carries ONLY complete JSON headline lines (diagnostics go to
+stderr): the headline prints immediately after the flagship measurement,
+and if the torch-baseline ratio finishes inside the wall-clock budget a
+second, superset line follows — the driver's tail parse takes the last
+complete line, and either line alone is a valid record.
 """
 import argparse
 import json
@@ -100,6 +104,38 @@ def our_epoch_seconds(N, r, CB, P, pp, C, S, batch, n_epochs=3, seed=0,
 from benchmarks.common import CONFIGS  # noqa: E402 — shared with epoch_bench
 
 
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "results", "baseline_cache.json")
+
+
+def _load_baseline_cache(red):
+    """Cached torch-CPU reduced-config epoch time, if measured for this
+    exact config. The torch baseline implementation is frozen
+    (benchmarks/torch_baseline.py), so its measurement is reusable across
+    bench runs on the same host — re-measuring it (~60-90 s on this 1-core
+    box) is what blew the round-3 driver budget (VERDICT r03 weak #1)."""
+    try:
+        with open(BASELINE_CACHE) as f:
+            c = json.load(f)
+        if c.get("red_config") == {k: int(v) for k, v in red.items()}:
+            return float(c["t_torch_red_s"]), c.get("measured_at", "?")
+    except Exception:
+        pass
+    return None, None
+
+
+def _save_baseline_cache(red, t_torch_red):
+    try:
+        os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"red_config": {k: int(v) for k, v in red.items()},
+                       "t_torch_red_s": round(t_torch_red, 3),
+                       "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")},
+                      f, indent=1)
+    except Exception as e:
+        log(f"baseline cache write failed: {e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -117,6 +153,18 @@ def main():
         import jax.profiler
         jax.profiler.start_trace(args.profile)
 
+    # Global wall-clock deadline. The driver wraps bench.py in its own
+    # timeout (rc=124 in BENCH_r03.json): everything here must finish —
+    # headline JSON printed AND process exited — inside that budget, so we
+    # self-impose a tighter one and degrade (smaller config, skipped
+    # baseline refresh) instead of getting killed mid-measurement.
+    t_start = time.monotonic()
+    budget = float(os.environ.get("TNF_BENCH_BUDGET", "1500"))
+    deadline = t_start + budget
+
+    def remaining():
+        return deadline - time.monotonic()
+
     import signal
 
     class _Watchdog(Exception):
@@ -127,17 +175,38 @@ def main():
 
     signal.signal(signal.SIGALRM, _alarm)
 
-    # fallback chain: if a config fails or hangs (the remote compile service
-    # intermittently wedges), try the next smaller one — the driver must
-    # always receive one JSON line
-    order = ["quick", "smoke"] if args.quick else ["full", "quick", "smoke"]
-    budgets = {"full": 2100, "quick": 900, "smoke": 600}
+    # Config choice is budget-aware. A fresh clone (empty .jax_cache) means
+    # every flagship program compiles through the slow TPU tunnel
+    # (~1650 s measured in round 3 — more than any sane driver budget), so
+    # with a cold cache we go straight to the quick config; its smaller
+    # programs cold-compile in a few minutes.
+    cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    try:
+        n_cached = len(os.listdir(cache_dir))
+    except OSError:
+        n_cached = 0
+    if args.quick:
+        order = ["quick", "smoke"]
+    elif n_cached < 20:
+        log(f"compile cache looks cold ({n_cached} entries): skipping the "
+            f"full config (cold flagship precompile ~27 min > budget)")
+        order = ["quick", "smoke"]
+    else:
+        order = ["full", "quick", "smoke"]
+    # max measurement time per config / time reserved for the fallbacks +
+    # JSON emission after it
+    budgets = {"full": 1100, "quick": 700, "smoke": 450}
+    reserves = {"full": 360, "quick": 120, "smoke": 20}
     t_full = None
     flops = None
     used = None
     for name in order:
+        alarm_s = int(min(budgets[name], remaining() - reserves[name]))
+        if alarm_s < 90:
+            log(f"config {name}: only {remaining():.0f}s left, skipping")
+            continue
         try:
-            signal.alarm(budgets[name])
+            signal.alarm(alarm_s)
             t_full, flops = our_epoch_seconds(**CONFIGS[name],
                                               method=args.method)
             signal.alarm(0)
@@ -153,17 +222,17 @@ def main():
     if t_full is None:
         print(json.dumps({"metric": "convtt_mnist_sweep_epochs_per_sec",
                           "value": 0.0, "unit": "epochs/sec",
-                          "vs_baseline": None, "error": "all configs failed"}))
+                          "vs_baseline": None, "error": "all configs failed"}),
+              flush=True)
         return
     epochs_per_sec = 1.0 / t_full
     log(f"ours[{used}]: {t_full:.3f}s/epoch -> {epochs_per_sec:.4f} epochs/s")
 
-    vs_baseline = None
+    # Flagship-shape anchor (VERDICT r01 weak #2): measured torch-f64 kernel
+    # rates extrapolated to the flagship epoch (a direct measurement is days
+    # of CPU time; see torch_baseline.py docstring). Analytic — costs <1 s.
     vs_flagship = None
-    if not args.skip_baseline and used == "full":
-        # flagship-shape anchor (VERDICT r01 weak #2): measured torch-f64
-        # kernel rates extrapolated to the flagship epoch (a direct
-        # measurement is days of CPU time; see torch_baseline.py docstring)
+    if used == "full":
         try:
             from benchmarks.torch_baseline import (
                 flagship_epoch_seconds_extrapolated)
@@ -173,48 +242,86 @@ def main():
                 f"~{t_torch_flag:.0f}s/epoch -> {vs_flagship:.0f}x")
         except BaseException as e:
             log(f"flagship anchor failed: {e}")
-    if not args.skip_baseline:
-        # reduced common config for the torch-CPU baseline ratio
-        full = CONFIGS[used]
-        red = dict(N=full["N"], r=min(full["r"], 8), CB=min(full["CB"], 4),
-                   P=full["P"], pp=full["pp"], C=full["C"], S=2048, batch=512)
-        try:
-            signal.alarm(900)
-            t_ours_red, _ = our_epoch_seconds(**red)
-            from benchmarks.torch_baseline import conv_tt_epoch_seconds
-            t0 = time.perf_counter()
-            t_torch_red = conv_tt_epoch_seconds(**red)
-            log(f"baseline: torch-cpu f64 {t_torch_red:.2f}s/epoch at {red} "
-                f"(measured in {time.perf_counter()-t0:.1f}s)")
-            log(f"ours at reduced config: {t_ours_red:.3f}s/epoch")
-            vs_baseline = t_torch_red / t_ours_red
-            signal.alarm(0)
-        except BaseException as e:
-            signal.alarm(0)
-            log(f"baseline comparison failed: {e}")
+
+    # reduced common config for the measured torch-CPU baseline ratio
+    full = CONFIGS[used]
+    red = dict(N=full["N"], r=min(full["r"], 8), CB=min(full["CB"], 4),
+               P=full["P"], pp=full["pp"], C=full["C"], S=2048, batch=512)
+    t_torch_red, measured_at = _load_baseline_cache(red)
+    baseline_source = (f"cached-measured-{measured_at}"
+                       if t_torch_red is not None else None)
 
     from tensornetworksfork_tpu.utils.flops import device_peak_flops, mfu
     achieved = flops / t_full if flops else None
     util = mfu(flops, t_full) if flops else None
+    gram_dtype = os.environ.get("TNF_GRAM_DTYPE", "f32")
+    util_int8 = (mfu(flops, t_full, peak=device_peak_flops("int8"))
+                 if flops and gram_dtype == "int8" else None)
     if achieved:
         log(f"ours[{used}]: {flops/1e12:.1f} TFLOPs/epoch -> "
             f"{achieved/1e12:.2f} TFLOP/s achieved"
-            + (f" ({util*100:.1f}% of bf16 peak)" if util else ""))
-    print(json.dumps({
+            + (f" ({util*100:.1f}% of bf16 peak)" if util else "")
+            + (f" ({util_int8*100:.1f}% of int8 peak)" if util_int8 else ""))
+
+    payload = {
         "metric": "convtt_mnist_sweep_epochs_per_sec",
         "value": round(epochs_per_sec, 4),
         "unit": "epochs/sec",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "vs_baseline": None,
+        "vs_baseline_source": None,
         "vs_baseline_flagship_extrapolated":
             round(vs_flagship, 1) if vs_flagship else None,
         "config": used,
         "epoch_tflops": round(flops / 1e12, 2) if flops else None,
         "achieved_tflops_per_sec": round(achieved / 1e12, 3) if achieved else None,
         "mfu_vs_bf16_peak": round(util, 4) if util else None,
+        # honest utilization for the int8 Gram tier: the same achieved
+        # TFLOP/s against the chip's int8 MXU peak (v5e: 394 TOPS). The
+        # bf16-peak number counts int8 work at bf16 rate (VERDICT r03
+        # weak #4) — report both denominators.
+        "mfu_vs_int8_peak": round(util_int8, 4) if util_int8 else None,
         "precision": os.environ.get("TNF_PRECISION", "highest"),
-        "gram_dtype": os.environ.get("TNF_GRAM_DTYPE", "f32"),
+        "gram_dtype": gram_dtype,
         "aux_precision": os.environ.get("TNF_AUX_PRECISION", "highest"),
-    }))
+    }
+
+    # Emit the headline JSON line NOW (VERDICT r03 weak #1: round 3's
+    # official artifact was rc=124/parsed=null because this line printed
+    # only after both baseline measurements). The baseline ratio follows as
+    # an UPDATED second line if its measurement fits the budget — the
+    # driver's tail parse picks up the last complete JSON line; either line
+    # alone is a complete record.
+    print(json.dumps(payload), flush=True)
+
+    if not args.skip_baseline and remaining() > 150:
+        try:
+            # ours at the reduced config (fresh: code changes move this)
+            signal.alarm(int(min(600, remaining() - 90)))
+            t_ours_red, _ = our_epoch_seconds(**red)
+            log(f"ours at reduced config: {t_ours_red:.3f}s/epoch")
+            signal.alarm(0)
+            if t_torch_red is None and remaining() > 120:
+                from benchmarks.torch_baseline import conv_tt_epoch_seconds
+                signal.alarm(int(remaining() - 30))
+                t0 = time.perf_counter()
+                t_torch_red = conv_tt_epoch_seconds(**red)
+                signal.alarm(0)
+                log(f"baseline: torch-cpu f64 {t_torch_red:.2f}s/epoch at "
+                    f"{red} (measured in {time.perf_counter()-t0:.1f}s)")
+                _save_baseline_cache(red, t_torch_red)
+                baseline_source = "measured-this-run"
+            if t_torch_red is not None:
+                payload["vs_baseline"] = round(t_torch_red / t_ours_red, 2)
+                payload["vs_baseline_source"] = baseline_source
+                print(json.dumps(payload), flush=True)
+        except BaseException as e:
+            signal.alarm(0)
+            log(f"baseline comparison failed (headline already emitted): "
+                f"{type(e).__name__}: {str(e)[:200]}")
+    else:
+        log(f"baseline refresh skipped ({remaining():.0f}s left)")
+    log(f"bench.py done in {time.monotonic()-t_start:.0f}s "
+        f"(budget {budget:.0f}s)")
 
 
 if __name__ == "__main__":

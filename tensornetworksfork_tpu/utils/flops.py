@@ -40,13 +40,26 @@ PEAK_FLOPS = {
     "TPU v6 lite": 918e12,   # v6e (Trillium)
 }
 
+# int8 MXU peak per chip (OPS). The int8 Gram tier's honest utilization
+# denominator: counting int8 work at bf16 peak overstates MFU ~2x on chips
+# whose MXU doubles int8 rate (v5e: 394 TOPS vs 197 bf16 TFLOP/s). v4 has
+# no int8 acceleration (same rate as bf16).
+PEAK_OPS_INT8 = {
+    "TPU v5 lite": 394e12,   # v5e
+    "TPU v5e": 394e12,
+    "TPU v5": 918e12,        # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 1836e12,  # v6e (Trillium)
+}
 
-def device_peak_flops() -> Optional[float]:
+
+def device_peak_flops(dtype: str = "bf16") -> Optional[float]:
+    table = PEAK_OPS_INT8 if dtype == "int8" else PEAK_FLOPS
     try:
         kind = jax.devices()[0].device_kind
     except Exception:
         return None
-    for k, v in PEAK_FLOPS.items():
+    for k, v in table.items():
         if kind.startswith(k):
             return v
     return None
