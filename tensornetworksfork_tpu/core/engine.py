@@ -1154,31 +1154,14 @@ class Network:
                     ppos.update({a: 2 * O + R + j for j, a in enumerate(rest)})
                     perm_out = tuple([upos[a] for a in node_axes]
                                      + [ppos[a] for a in node_axes])
-                    if (defer_ownout is not None and C_sz > 1
-                            and os.environ.get("TNF_OWNOUT_DEFER",
-                                               "1") != "0"):
-                        # upper class pairs only: H[s,c,c'] = H[s,c',c]
-                        # (loss contract), so A[c',.,c,.] = A[c,.,c',.]ᵀ(d↔d')
-                        # — compute P = C(C+1)/2 of the C² blocks and let the
-                        # caller expand once after its chunk scan. Same dot,
-                        # 45% less K traffic/FLOPs at the flagship C=9.
-                        iu, ju = np.triu_indices(C_sz)
-                        Kup = (Hop[:, iu, ju, None]
-                               * Jop[:, None, :])  # (S, P, DJ)
-                        dot_prec = (self.precision if gd is None
-                                    else jax.lax.Precision.DEFAULT)
-                        A_raw = jax.lax.dot_general(
-                            Kup.reshape(S_sz, len(iu) * DJ), Jop,
-                            (((0,), (0,)), ((), ())),
-                            precision=dot_prec,
-                            preferred_element_type=J_arr.dtype)
-                        defer_ownout["plan"] = (
-                            C_sz, DJ, out_sizes, rest_sizes, perm_out)
-                        return A_raw.reshape(len(iu), DJ, DJ), b
                     if (self.use_pallas and self.mesh is None
                             and os.environ.get("TNF_OWNOUT_KERNEL") == "1"
                             and DJ >= int(os.environ.get(
                                 "TNF_OWNOUT_KERNEL_MIN_DJ", "256"))):
+                        # NB: checked BEFORE the default-on deferral so the
+                        # explicit opt-in stays effective for sweep-driven
+                        # updates (which always pass defer_ownout once the
+                        # probe sets a plan) — ADVICE r03.
                         # fused class-pair kernel: the H weighting loads
                         # inside the kernel (no (S, C², DJ) K4 in HBM) and
                         # only the C(C+1)/2 upper class blocks are computed
@@ -1205,6 +1188,27 @@ class Network:
                                         + rest_sizes + rest_sizes)
                         return (jnp.transpose(A5, perm_out)
                                 .astype(J_arr.dtype), b)
+                    if (defer_ownout is not None and C_sz > 1
+                            and os.environ.get("TNF_OWNOUT_DEFER",
+                                               "1") != "0"):
+                        # upper class pairs only: H[s,c,c'] = H[s,c',c]
+                        # (loss contract), so A[c',.,c,.] = A[c,.,c',.]ᵀ(d↔d')
+                        # — compute P = C(C+1)/2 of the C² blocks and let the
+                        # caller expand once after its chunk scan. Same dot,
+                        # 45% less K traffic/FLOPs at the flagship C=9.
+                        iu, ju = np.triu_indices(C_sz)
+                        Kup = (Hop[:, iu, ju, None]
+                               * Jop[:, None, :])  # (S, P, DJ)
+                        dot_prec = (self.precision if gd is None
+                                    else jax.lax.Precision.DEFAULT)
+                        A_raw = jax.lax.dot_general(
+                            Kup.reshape(S_sz, len(iu) * DJ), Jop,
+                            (((0,), (0,)), ((), ())),
+                            precision=dot_prec,
+                            preferred_element_type=J_arr.dtype)
+                        defer_ownout["plan"] = (
+                            C_sz, DJ, out_sizes, rest_sizes, perm_out)
+                        return A_raw.reshape(len(iu), DJ, DJ), b
                     K4 = Hop[:, :, :, None] * Jop[:, None, None, :]
                     dot_prec = (self.precision if gd is None
                                 else jax.lax.Precision.DEFAULT)

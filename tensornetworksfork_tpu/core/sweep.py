@@ -701,7 +701,19 @@ class Sweeper:
                 # node² A is expanded ONCE before the solve. Probe values
                 # are DCE'd; only the carry shape and the static plan live.
                 ownout = {"plan": None}
-                if pj0 is None:
+                # Cheap static pre-check (ADVICE r03): the structured
+                # own-out deferral can only fire for a node that owns ALL
+                # output axes with C > 1 (engine.gram_and_rhs's structured
+                # path) — skip the trace-time jac+loss+gram probe for the
+                # (majority of) nodes that can never take it.
+                t_ = net.topology
+                own_all_out = (bool(t_.output_axes)
+                               and all(a in t_.node_axes[ni]
+                                       for a in t_.output_axes))
+                C_out = 1
+                for a in t_.output_axes:
+                    C_out *= t_.axis_size[a]
+                if pj0 is None and own_all_out and C_out > 1:
                     J0 = jac(probe, params)
                     pred0 = net.predict_from_jacobian(ni, J0, core)
                     if use_rest:

@@ -97,7 +97,19 @@ def gram_quant() -> bool:
     Accuracy is workload-dependent: gate with a replication run before
     adopting on a new workload. int8 is the bench default (gated by the
     10-seed digits replication — mean unchanged vs f32); TNF_GRAM_DTYPE=bf16
-    or f32 revert."""
+    or f32 revert.
+
+    Diagonal-Hessian caveat (ADVICE r03): the diag route quantizes
+    K = h·J, so the per-(block, column) absmax scale is shared by every
+    sample in the (up to 2048-row) block — samples whose Hessian weight h
+    is far below the block max lose relative precision, a loss mode the
+    bf16/f32 fused-weighting path doesn't have (h there rides the kernel at
+    full precision). h can't be folded into the scales instead: it weights
+    the rows INSIDE the s-reduction, while scales must be per-column to
+    factor out of the int32 block dot. Workloads with extreme per-sample
+    Hessian spreads (heteroscedastic regression, focal-style losses) should
+    prefer TNF_GRAM_DTYPE=bf16; tests/test_int8_gram.py bounds the error at
+    adversarial h spreads."""
     return os.environ.get("TNF_GRAM_DTYPE", "f32").lower() == "int8"
 
 
@@ -833,7 +845,12 @@ def quantize_tiled(Jt: jax.Array, block: int, interpret: bool = False,
     isz = jnp.dtype(Jt.dtype).itemsize
     while BS > 256 and (3 * BS * tw * (isz + 1) + 4 * BS * tile
                         > VMEM_BUDGET):
-        BS //= 2
+        # round down to the int8 sublane granularity (32): for rows < block
+        # BS starts at ceil32(rows) (e.g. 2016), and a plain halving would
+        # yield a non-multiple of 32 that Mosaic can reject on hardware
+        # (reachable only via the public API with f32 operands — the engine
+        # always feeds bf16) — ADVICE r03.
+        BS = max(256, (BS // 2) // 32 * 32)
     Bp = ((rows + BS - 1) // BS) * BS
     if Bp != rows:
         Jt = jnp.pad(Jt, ((0, 0), (0, Bp - rows), (0, 0)))
