@@ -83,6 +83,10 @@ def get_config_from_env():
         "verbose": int(e("VERBOSE", "1")),
         "results_file": e("RESULTS_FILE", "results/image_results.csv"),
         "synthetic_samples": int(e("SYNTHETIC_SAMPLES", "8192")),
+        # numerics tier: reference | fast | fastest | "" = respect TNF_* env
+        # (utils/precision.py; the bf16 tier is per-seed identical on the
+        # digits gate and ~3.7x faster — see RESULTS.md)
+        "precision": e("PRECISION", "") or None,
     }
 
 
@@ -153,6 +157,12 @@ def build_model(config, num_patches, patch_pixels, n_out):
 
 
 def train_model(config):
+    from ..utils.precision import numerics_tier
+    with numerics_tier(config.get("precision")):
+        return _train_model(config)
+
+
+def _train_model(config):
     np.random.seed(config["seed"])
     xin_tr, y_tr, xin_te, y_te, synthetic = load_data(config)
     n = xin_tr.shape[0]
@@ -236,6 +246,7 @@ def train_model(config):
         "num_parameters": model.num_parameters(),
         "num_swipes": config["num_swipes"], "eps": config["eps"],
         "method": config.get("method", "ridge_cholesky"),
+        "precision": config.get("precision") or "",
         "eps_decay": config["eps_decay"],
         "kernel_size": config["kernel_size"],
         "kernel_stride": config["kernel_stride"],

@@ -192,7 +192,7 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
                  method="ridge_cholesky", num_swipes=30, model_type="tt",
                  task="regression", train_operator=False, cum_sum=False,
                  early_stopping=0, dtype=jnp.float32, verbose=0,
-                 timeout=None):
+                 timeout=None, precision=None):
         self.N = N
         self.r = r
         self.output_dim = output_dim
@@ -219,6 +219,11 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
         # wall-clock abort in seconds, passed to the sweep (the reference
         # forwards --tt_timeout the same way, train_tabular.py:119,263)
         self.timeout = timeout
+        # numerics tier: "reference" | "fast" | "fastest" | None (respect
+        # ambient TNF_* env vars) — utils.precision.numerics_tier scopes
+        # the engine knobs around fit/predict
+        from ..utils.precision import validate_tier
+        self.precision = validate_tier(precision)
         self._model = None
         self.input_dim = None
         if self.perturb and self.output_dim > 1:
@@ -279,6 +284,13 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
 
     def fit(self, X, y, X_val=None, y_val=None, validation_split=0.1,
             split_train=True):
+        from ..utils.precision import numerics_tier
+        with numerics_tier(self.precision):
+            return self._fit(X, y, X_val, y_val, validation_split,
+                             split_train)
+
+    def _fit(self, X, y, X_val=None, y_val=None, validation_split=0.1,
+             split_train=True):
         X = self._add_bias(self._as_array(X))
         if self.task == "classification":
             # on a continued fit (model already built) output_dim is frozen:
@@ -396,8 +408,10 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
         return self
 
     def predict(self, X):
-        X = self._add_bias(self._as_array(X))
-        return np.asarray(self._predict_arr(X))
+        from ..utils.precision import numerics_tier
+        with numerics_tier(self.precision):
+            X = self._add_bias(self._as_array(X))
+            return np.asarray(self._predict_arr(X))
 
     def score(self, X, y_true):
         y_pred = self.predict(X)

@@ -40,6 +40,9 @@ class RunConfig:
     num_swipes: int = 5
     batch_size: int = 512
     method: str = "ridge_cholesky"
+    # numerics tier: reference | fast | fastest | None = respect TNF_* env
+    # (utils/precision.py; VERDICT r03 weak #5)
+    precision: Optional[str] = None
     eps: float = 5.0
     eps_decay: Optional[float] = 0.25
     lr: float = 1.0
