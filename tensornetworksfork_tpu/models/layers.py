@@ -603,11 +603,20 @@ class OperatorTTLayer(TNLayer):
 # ---------------------------------------------------------------------------
 
 class ComplexTensorTrainLayer(TensorTrainLayer):
+    """Complex TT (reference ComplexTensorTrainLayer, layers.py:1210-1285).
+
+    The reference is complex128; TPUs have no c128, so the TPU tier is
+    complex64 (default). dtype=jnp.complex128 is supported on CPU with
+    jax x64 enabled — tests/test_complex128.py validates the full sweep
+    path at double precision in an x64 subprocess."""
+
     def __init__(self, num_carriages, bond_dim, input_features, output_shape=(),
-                 constrict_bond=True, seed=0):
+                 constrict_bond=True, dtype=jnp.complex64, seed=0):
+        if not jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+            raise ValueError(f"dtype must be complex, got {dtype}")
         super().__init__(num_carriages, bond_dim, input_features,
                          output_shape=output_shape, constrict_bond=constrict_bond,
-                         perturb=False, dtype=jnp.complex64, seed=seed)
+                         perturb=False, dtype=dtype, seed=seed)
 
 
 # ---------------------------------------------------------------------------
