@@ -140,6 +140,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small config (CI smoke)")
+    ap.add_argument("--full", action="store_true",
+                    help="force the flagship config even on a cold compile "
+                         "cache (used to warm .jax_cache; pair with a large "
+                         "TNF_BENCH_BUDGET)")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the steady epochs")
@@ -187,6 +191,8 @@ def main():
         n_cached = 0
     if args.quick:
         order = ["quick", "smoke"]
+    elif args.full:
+        order = ["full", "quick", "smoke"]
     elif n_cached < 20:
         log(f"compile cache looks cold ({n_cached} entries): skipping the "
             f"full config (cold flagship precompile ~27 min > budget)")
