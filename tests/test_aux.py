@@ -2,12 +2,14 @@
 module, reporting tables, default_train variants, TNML estimator, module-tier
 estimators, growing drivers."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import pandas as pd
 
 from tensornetworksfork_tpu.ops import feature_maps
 
 
+@pytest.mark.complex_dtype
 def test_feature_maps_shapes():
     X = np.random.default_rng(0).uniform(-1, 1, (8, 3)).astype(np.float32)
     F = feature_maps.fourier_basis(X, 2)
@@ -79,6 +81,7 @@ def test_default_train_variants():
         assert res["train_rmse"] < 0.6, (variant, res)
 
 
+@pytest.mark.complex_dtype
 def test_default_train_fourier_and_uncertainty():
     from tensornetworksfork_tpu.experiments import default_train
     res = default_train.run("fourier", S=256, d=2, degree=2, r=6, num_swipes=4)

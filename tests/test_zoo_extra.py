@@ -2,6 +2,7 @@
 conv grow_cart forward preservation, operator sandwich, split-input, grid,
 complex TT, compressed-data TT, concatenate_trains."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tensornetworksfork_tpu.core.sweep import SweepConfig, accumulating_sweep
@@ -113,6 +114,7 @@ def test_grid_layer_trains():
     assert ok
 
 
+@pytest.mark.complex_dtype
 def test_complex_tt():
     layer = ComplexTensorTrainLayer(2, 3, 3, output_shape=(1,), seed=0)
     rng = np.random.default_rng(4)
