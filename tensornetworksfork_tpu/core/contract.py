@@ -102,7 +102,12 @@ def contract(
                 path, info = oe.contract_path(
                     expr, *[a.shape for a in arrays], shapes=True,
                     optimize=optimize, memory_limit=cap)
-                optimize = path
+                # an unsatisfiable memory_limit (e.g. the OUTPUT itself
+                # exceeds the cap) makes opt_einsum emit a simultaneous
+                # >=3-operand step, which jnp.einsum cannot execute —
+                # keep the unconstrained pairwise path in that case
+                if all(len(step) <= 2 for step in path):
+                    optimize = path
         except Exception:
             pass  # planner quirk: fall through to the unconstrained path
     return jnp.einsum(expr, *arrays, precision=precision, optimize=optimize)

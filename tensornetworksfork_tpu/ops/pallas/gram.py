@@ -146,6 +146,55 @@ def _packed_enabled() -> bool:
     return os.environ.get("TNF_PALLAS_PACKED", "1") == "1"
 
 
+def _group() -> int:
+    """Pair-group size G for the packed-tiled grids (TNF_PALLAS_GROUP).
+
+    The (k, i, b) grid re-DMAs BOTH operand slabs for every tile pair, so
+    the bf16/int8 kernels pay pairs x rows x tile x 2 operand bytes. With
+    G > 1 the grid enumerates GxG pair-BLOCKS: one (G, bs, tile) load per
+    operand serves G^2 tile dots, cutting operand DMA by ~G on a DMA-bound
+    kernel. G=1 reproduces the round-3 schedule exactly."""
+    try:
+        g = int(os.environ.get("TNF_PALLAS_GROUP", "2"))
+    except ValueError:
+        g = 1
+    return max(g, 1)
+
+
+def _effective_group(n: int, itemsize: int, acc=None) -> int:
+    """G actually usable: needs n % G == 0 slab rows, no in-kernel chunk
+    accumulator (the acc input spec is tile-grained), and a <=2-byte dtype
+    (the f32 kernel is 6-pass-compute-bound — grouping buys nothing and
+    its (G*tile)^2 f32 out tile blows the tighter f32 VMEM budget)."""
+    if acc is not None or itemsize > 2:
+        return 1
+    g = _group()
+    while g > 1 and n % g:
+        g -= 1
+    return g
+
+
+def _clamp_group_bs(G: int, tile: int, BS: int, itemsize: int) -> int:
+    """Sample sub-block for the grouped grid: largest power-of-2 divisor of
+    BS (so int8 quantization blocks are never straddled) whose footprint —
+    triple-buffered (G, bs, tile) operands x2 + the resident (G*tile)^2 f32
+    out tile — fits the calibrated VMEM budget. TNF_PALLAS_GROUP_BS forces
+    a value (probe/test hook)."""
+    forced = os.environ.get("TNF_PALLAS_GROUP_BS", "")
+    if forced:
+        return min(int(forced), BS)
+    budget = VMEM_BUDGET if itemsize == 2 else 11 * 1024 * 1024
+    bs = BS
+
+    def fits(b):
+        return (3 * 2 * G * b * tile * itemsize
+                + (G * tile) ** 2 * 4) <= budget
+
+    while not fits(bs) and bs % 2 == 0 and bs > 256:
+        bs //= 2
+    return bs
+
+
 def _retile(x: jax.Array, n: int, tile: int) -> jax.Array:
     """(rows, n*tile) -> (n, rows, tile): one contiguous slab per D-tile.
 
@@ -714,6 +763,69 @@ def retile_hmix(J3: jax.Array, H: jax.Array, n: int, tile: int,
     return _cm(J3, 0, Jt, Kt)
 
 
+def _group_accum(out_ref, tf, g1, g2, T):
+    """Write/accumulate one (T, T) sub-tile of the grouped out block."""
+    r0, c0 = g1 * T, g2 * T
+    first = pl.program_id(2) == 0
+
+    @pl.when(first)
+    def _():
+        out_ref[r0:r0 + T, c0:c0 + T] = tf
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[r0:r0 + T, c0:c0 + T] = out_ref[r0:r0 + T, c0:c0 + T] + tf
+
+
+def _make_pair_kernel_tiled_g(G: int, T: int):
+    """_pair_kernel_tiled over (G, bs, tile) operand superblocks: each DMA'd
+    slab pair serves G^2 tile dots (the DMA-halving grouped schedule)."""
+    def kernel(j1_ref, j2_ref, out_ref):
+        for g1 in range(G):
+            j1t = j1_ref[g1].T
+            for g2 in range(G):
+                tf = jax.lax.dot_general(
+                    j1t, j2_ref[g2], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_dot_precision(j1_ref))
+                _group_accum(out_ref, tf, g1, g2, T)
+    return kernel
+
+
+def _make_weighted_kernel_tiled_g(G: int, T: int):
+    def kernel(h_ref, j1_ref, j2_ref, out_ref):
+        w = h_ref[:]  # (bs, 1)
+        for g1 in range(G):
+            jw = (j1_ref[g1] * w).astype(j1_ref.dtype).T
+            for g2 in range(G):
+                tf = jax.lax.dot_general(
+                    jw, j2_ref[g2], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_dot_precision(j1_ref))
+                _group_accum(out_ref, tf, g1, g2, T)
+    return kernel
+
+
+def _make_pair_kernel_tiled_q_g(G: int, T: int):
+    """Grouped _pair_kernel_tiled_q: exact int32 sub-block dots, each
+    rescaled by its quantization block's per-column scales before the f32
+    accumulation (a quantization block is never straddled — bs divides the
+    quantizer's BS — so sub-block splitting only reorders exact-int32
+    partial sums into f32 adds)."""
+    def kernel(s1_ref, s2_ref, j1_ref, j2_ref, out_ref):
+        for g1 in range(G):
+            j1t = j1_ref[g1].T
+            s1 = s1_ref[g1, 0]  # (tile, 1)
+            for g2 in range(G):
+                t = jax.lax.dot_general(
+                    j1t, j2_ref[g2], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                    precision=jax.lax.Precision.DEFAULT)
+                tf = t.astype(jnp.float32) * (s1 * s2_ref[g2, 0])
+                _group_accum(out_ref, tf, g1, g2, T)
+    return kernel
+
+
 def _pad_rows3(x: jax.Array, BS: int):
     B = x.shape[1]
     Bp = ((B + BS - 1) // BS) * BS
@@ -723,11 +835,13 @@ def _pad_rows3(x: jax.Array, BS: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "block", "mirror"))
+                   static_argnames=("interpret", "tile", "block", "mirror",
+                                    "group"))
 def _gram_pair_tiled_jit(J1t: jax.Array, J2t: jax.Array,
                          interpret: bool = False,
                          tile: int = 512, block: int = 2048,
-                         mirror: bool = False, acc=None) -> jax.Array:
+                         mirror: bool = False, acc=None,
+                         group: int = 1) -> jax.Array:
     """gram_pair(symmetric=True) over PRE-TILED (n, rows, tile) operands.
 
     Returns the full (n*tile, n*tile) A — callers slice [:D, :D]. mirror
@@ -751,18 +865,38 @@ def _gram_pair_tiled_jit(J1t: jax.Array, J2t: jax.Array,
         pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
     ]
     kernel = _pair_kernel_tiled
+    grid = (_packed_nk(n), n, Bp // BS)
+    out_spec = pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n))
     if acc is not None:
         assert not mirror, "acc accumulates raw; mirror once after the scan"
         operands = [acc] + operands
         in_specs = [pl.BlockSpec((tile, tile),
                                  lambda k, i, b: _pq(k, i, n))] + in_specs
         kernel = _make_pair_kernel_tiled_acc(n)
+    elif group > 1:
+        G = group
+        ng = n // G
+        bs = _clamp_group_bs(G, tile, BS, J1t.dtype.itemsize)
+        if Bp % bs:
+            J1t = _pad_rows3(J1t, bs)[0]
+            J2t, Bp = _pad_rows3(J2t, bs)
+        operands = [J1t, J2t]
+        in_specs = [
+            pl.BlockSpec((G, bs, tile),
+                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
+            pl.BlockSpec((G, bs, tile),
+                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
+        ]
+        kernel = _make_pair_kernel_tiled_g(G, tile)
+        grid = (_packed_nk(ng), ng, Bp // bs)
+        out_spec = pl.BlockSpec((G * tile, G * tile),
+                                lambda k, i, b, ng=ng: _pq(k, i, ng))
     A = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
-        grid=(_packed_nk(n), n, Bp // BS),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n)),
+        out_specs=out_spec,
         interpret=interpret,
     )(*operands)
     if mirror:
@@ -907,10 +1041,11 @@ def _pair_kernel_tiled_q(s1_ref, s2_ref, j1_ref, j2_ref, out_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "mirror"))
+                   static_argnames=("interpret", "tile", "mirror", "group"))
 def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
                            s2: jax.Array, interpret: bool = False,
-                           tile: int = 512, mirror: bool = False):
+                           tile: int = 512, mirror: bool = False,
+                           group: int = 1):
     """gram_pair_tiled over int8-quantized operands from quantize_tiled.
 
     A[d, e] = sum_b s1[b, d] s2[b, e] (Q1_bᵀ Q2_b) — each sample block's
@@ -924,6 +1059,9 @@ def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
     Dp = n * tile
     s1c = s1[..., None]       # (n, nb, tile, 1): (tile, 1) column factor
     s2r = s2[:, :, None, :]   # (n, nb, 1, tile): (1, tile) row factor
+    kernel = _pair_kernel_tiled_q
+    grid = (_packed_nk(n), n, nb)
+    out_spec = pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n))
     in_specs = [
         pl.BlockSpec((1, 1, tile, 1),
                      lambda k, i, b: (_pq(k, i, n)[0], b, 0, 0)),
@@ -932,12 +1070,37 @@ def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
         pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
         pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
     ]
+    if group > 1:
+        G = group
+        ng = n // G
+        bs = _clamp_group_bs(G, tile, BS, 1)
+        if BS % bs:
+            raise ValueError(
+                f"grouped int8 sub-block {bs} must divide the quantization "
+                f"block {BS} (TNF_PALLAS_GROUP_BS misconfigured)")
+        sub = BS // bs  # sub-blocks per quantization block
+        in_specs = [
+            pl.BlockSpec((G, 1, tile, 1),
+                         lambda k, i, b, ng=ng, sub=sub:
+                         (_pq(k, i, ng)[0], b // sub, 0, 0)),
+            pl.BlockSpec((G, 1, 1, tile),
+                         lambda k, i, b, ng=ng, sub=sub:
+                         (_pq(k, i, ng)[1], b // sub, 0, 0)),
+            pl.BlockSpec((G, bs, tile),
+                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
+            pl.BlockSpec((G, bs, tile),
+                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
+        ]
+        kernel = _make_pair_kernel_tiled_q_g(G, tile)
+        grid = (_packed_nk(ng), ng, Bp // bs)
+        out_spec = pl.BlockSpec((G * tile, G * tile),
+                                lambda k, i, b, ng=ng: _pq(k, i, ng))
     A = pl.pallas_call(
-        _pair_kernel_tiled_q,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
-        grid=(_packed_nk(n), n, nb),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n)),
+        out_specs=out_spec,
         interpret=interpret,
     )(s1c, s2r, Q1, Q2)
     if mirror:
@@ -957,7 +1120,8 @@ def gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=False, tile=512,
             f"Q {Q1.shape} vs {Q2.shape}, scales {s1.shape} vs {s2.shape}")
     CALLS["gram_pair_q"] += 1
     return _gram_pair_tiled_q_jit(Q1, s1, Q2, s2, interpret=interpret,
-                                  tile=tile, mirror=mirror)
+                                  tile=tile, mirror=mirror,
+                                  group=_effective_group(Q1.shape[0], 1))
 
 
 def _make_own_out_kernel():
@@ -1042,11 +1206,13 @@ def mirror_own_out(A4: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "block", "mirror"))
+                   static_argnames=("interpret", "tile", "block", "mirror",
+                                    "group"))
 def _weighted_gram_tiled_jit(Jt: jax.Array, h: jax.Array,
                              interpret: bool = False,
                              tile: int = 512, block: int = 2048,
-                             mirror: bool = False, acc=None) -> jax.Array:
+                             mirror: bool = False, acc=None,
+                             group: int = 1) -> jax.Array:
     """weighted_gram over a PRE-TILED (n, rows, tile) operand. h: (rows,).
 
     acc: optional in-kernel chunk accumulator — see gram_pair_tiled."""
@@ -1065,18 +1231,40 @@ def _weighted_gram_tiled_jit(Jt: jax.Array, h: jax.Array,
         pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
     ]
     kernel = _weighted_kernel_tiled
+    grid = (_packed_nk(n), n, Bp // BS)
+    out_spec = pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n))
     if acc is not None:
         assert not mirror, "acc accumulates raw; mirror once after the scan"
         operands = [acc] + operands
         in_specs = [pl.BlockSpec((tile, tile),
                                  lambda k, i, b: _pq(k, i, n))] + in_specs
         kernel = _make_weighted_kernel_tiled_acc(n)
+    elif group > 1:
+        G = group
+        ng = n // G
+        bs = _clamp_group_bs(G, tile, BS, Jt.dtype.itemsize)
+        if Bp % bs:
+            Jt, Bp = _pad_rows3(Jt, bs)
+            h2 = jnp.pad(h, (0, Bp - h.shape[0])).reshape(
+                Bp, 1).astype(jnp.float32)
+        operands = [h2, Jt, Jt]
+        in_specs = [
+            pl.BlockSpec((bs, 1), lambda k, i, b: (b, 0)),
+            pl.BlockSpec((G, bs, tile),
+                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
+            pl.BlockSpec((G, bs, tile),
+                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
+        ]
+        kernel = _make_weighted_kernel_tiled_g(G, tile)
+        grid = (_packed_nk(ng), ng, Bp // bs)
+        out_spec = pl.BlockSpec((G * tile, G * tile),
+                                lambda k, i, b, ng=ng: _pq(k, i, ng))
     A = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
-        grid=(_packed_nk(n), n, Bp // BS),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, tile), lambda k, i, b: _pq(k, i, n)),
+        out_specs=out_spec,
         interpret=interpret,
     )(*operands)
     if mirror:
@@ -1181,8 +1369,10 @@ def gram_pair(J1, J2, interpret=False, tile=None, block=None,
 def gram_pair_tiled(J1t, J2t, interpret=False, tile=512, block=2048,
                     mirror=False, acc=None):
     CALLS["gram_pair"] += 1
-    return _gram_pair_tiled_jit(J1t, J2t, interpret=interpret, tile=tile,
-                                block=block, mirror=mirror, acc=acc)
+    return _gram_pair_tiled_jit(
+        J1t, J2t, interpret=interpret, tile=tile, block=block, mirror=mirror,
+        acc=acc,
+        group=_effective_group(J1t.shape[0], J1t.dtype.itemsize, acc))
 
 
 def own_out_gram(Jt, H, C, interpret=False, tile=512, block=2048):
@@ -1194,8 +1384,10 @@ def own_out_gram(Jt, H, C, interpret=False, tile=512, block=2048):
 def weighted_gram_tiled(Jt, h, interpret=False, tile=512, block=2048,
                         mirror=False, acc=None):
     CALLS["weighted_gram"] += 1
-    return _weighted_gram_tiled_jit(Jt, h, interpret=interpret, tile=tile,
-                                    block=block, mirror=mirror, acc=acc)
+    return _weighted_gram_tiled_jit(
+        Jt, h, interpret=interpret, tile=tile, block=block, mirror=mirror,
+        acc=acc,
+        group=_effective_group(Jt.shape[0], Jt.dtype.itemsize, acc))
 
 
 def add_packed_upper(Aacc, Anew, tile=512, interpret=False):
