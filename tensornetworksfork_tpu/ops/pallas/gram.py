@@ -174,12 +174,17 @@ def _effective_group(n: int, itemsize: int, acc=None) -> int:
     return g
 
 
-def _clamp_group_bs(G: int, tile: int, BS: int, itemsize: int) -> int:
+def _clamp_group_bs(G: int, tile: int, BS: int,
+                    itemsize: int) -> Optional[int]:
     """Sample sub-block for the grouped grid: largest power-of-2 divisor of
     BS (so int8 quantization blocks are never straddled) whose footprint —
     triple-buffered (G, bs, tile) operands x2 + the resident (G*tile)^2 f32
-    out tile — fits the calibrated VMEM budget. TNF_PALLAS_GROUP_BS forces
-    a value (probe/test hook)."""
+    out tile — fits the calibrated VMEM budget. Returns None when NO
+    fitting sub-block exists (e.g. at tile 1024 the (G*tile)^2 out tile
+    alone is 16.8 MB — over the core's 16 MB VMEM — or BS runs out of
+    power-of-2 divisors above the 256 floor): callers must then disable
+    grouping rather than submit a Mosaic-VMEM-doomed compile.
+    TNF_PALLAS_GROUP_BS forces a value (probe/test hook)."""
     forced = os.environ.get("TNF_PALLAS_GROUP_BS", "")
     if forced:
         return min(int(forced), BS)
@@ -192,7 +197,7 @@ def _clamp_group_bs(G: int, tile: int, BS: int, itemsize: int) -> int:
 
     while not fits(bs) and bs % 2 == 0 and bs > 256:
         bs //= 2
-    return bs
+    return bs if fits(bs) else None
 
 
 def _retile(x: jax.Array, n: int, tile: int) -> jax.Array:
@@ -877,20 +882,21 @@ def _gram_pair_tiled_jit(J1t: jax.Array, J2t: jax.Array,
         G = group
         ng = n // G
         bs = _clamp_group_bs(G, tile, BS, J1t.dtype.itemsize)
-        if Bp % bs:
-            J1t = _pad_rows3(J1t, bs)[0]
-            J2t, Bp = _pad_rows3(J2t, bs)
-        operands = [J1t, J2t]
-        in_specs = [
-            pl.BlockSpec((G, bs, tile),
-                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
-            pl.BlockSpec((G, bs, tile),
-                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
-        ]
-        kernel = _make_pair_kernel_tiled_g(G, tile)
-        grid = (_packed_nk(ng), ng, Bp // bs)
-        out_spec = pl.BlockSpec((G * tile, G * tile),
-                                lambda k, i, b, ng=ng: _pq(k, i, ng))
+        if bs is not None:  # None: no fitting sub-block — stay ungrouped
+            if Bp % bs:
+                J1t = _pad_rows3(J1t, bs)[0]
+                J2t, Bp = _pad_rows3(J2t, bs)
+            operands = [J1t, J2t]
+            in_specs = [
+                pl.BlockSpec((G, bs, tile),
+                             lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
+                pl.BlockSpec((G, bs, tile),
+                             lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
+            ]
+            kernel = _make_pair_kernel_tiled_g(G, tile)
+            grid = (_packed_nk(ng), ng, Bp // bs)
+            out_spec = pl.BlockSpec((G * tile, G * tile),
+                                    lambda k, i, b, ng=ng: _pq(k, i, ng))
     A = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
@@ -1074,27 +1080,29 @@ def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
         G = group
         ng = n // G
         bs = _clamp_group_bs(G, tile, BS, 1)
-        if BS % bs:
-            raise ValueError(
-                f"grouped int8 sub-block {bs} must divide the quantization "
-                f"block {BS} (TNF_PALLAS_GROUP_BS misconfigured)")
-        sub = BS // bs  # sub-blocks per quantization block
-        in_specs = [
-            pl.BlockSpec((G, 1, tile, 1),
-                         lambda k, i, b, ng=ng, sub=sub:
-                         (_pq(k, i, ng)[0], b // sub, 0, 0)),
-            pl.BlockSpec((G, 1, 1, tile),
-                         lambda k, i, b, ng=ng, sub=sub:
-                         (_pq(k, i, ng)[1], b // sub, 0, 0)),
-            pl.BlockSpec((G, bs, tile),
-                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
-            pl.BlockSpec((G, bs, tile),
-                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
-        ]
-        kernel = _make_pair_kernel_tiled_q_g(G, tile)
-        grid = (_packed_nk(ng), ng, Bp // bs)
-        out_spec = pl.BlockSpec((G * tile, G * tile),
-                                lambda k, i, b, ng=ng: _pq(k, i, ng))
+        if bs is not None:  # None: no fitting sub-block — stay ungrouped
+            if BS % bs:
+                raise ValueError(
+                    f"grouped int8 sub-block {bs} must divide the "
+                    f"quantization block {BS} (TNF_PALLAS_GROUP_BS "
+                    f"misconfigured)")
+            sub = BS // bs  # sub-blocks per quantization block
+            in_specs = [
+                pl.BlockSpec((G, 1, tile, 1),
+                             lambda k, i, b, ng=ng, sub=sub:
+                             (_pq(k, i, ng)[0], b // sub, 0, 0)),
+                pl.BlockSpec((G, 1, 1, tile),
+                             lambda k, i, b, ng=ng, sub=sub:
+                             (_pq(k, i, ng)[1], b // sub, 0, 0)),
+                pl.BlockSpec((G, bs, tile),
+                             lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
+                pl.BlockSpec((G, bs, tile),
+                             lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
+            ]
+            kernel = _make_pair_kernel_tiled_q_g(G, tile)
+            grid = (_packed_nk(ng), ng, Bp // bs)
+            out_spec = pl.BlockSpec((G * tile, G * tile),
+                                    lambda k, i, b, ng=ng: _pq(k, i, ng))
     A = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
@@ -1243,22 +1251,23 @@ def _weighted_gram_tiled_jit(Jt: jax.Array, h: jax.Array,
         G = group
         ng = n // G
         bs = _clamp_group_bs(G, tile, BS, Jt.dtype.itemsize)
-        if Bp % bs:
-            Jt, Bp = _pad_rows3(Jt, bs)
-            h2 = jnp.pad(h, (0, Bp - h.shape[0])).reshape(
-                Bp, 1).astype(jnp.float32)
-        operands = [h2, Jt, Jt]
-        in_specs = [
-            pl.BlockSpec((bs, 1), lambda k, i, b: (b, 0)),
-            pl.BlockSpec((G, bs, tile),
-                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
-            pl.BlockSpec((G, bs, tile),
-                         lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
-        ]
-        kernel = _make_weighted_kernel_tiled_g(G, tile)
-        grid = (_packed_nk(ng), ng, Bp // bs)
-        out_spec = pl.BlockSpec((G * tile, G * tile),
-                                lambda k, i, b, ng=ng: _pq(k, i, ng))
+        if bs is not None:  # None: no fitting sub-block — stay ungrouped
+            if Bp % bs:
+                Jt, Bp = _pad_rows3(Jt, bs)
+                h2 = jnp.pad(h, (0, Bp - h.shape[0])).reshape(
+                    Bp, 1).astype(jnp.float32)
+            operands = [h2, Jt, Jt]
+            in_specs = [
+                pl.BlockSpec((bs, 1), lambda k, i, b: (b, 0)),
+                pl.BlockSpec((G, bs, tile),
+                             lambda k, i, b, ng=ng: (_pq(k, i, ng)[0], b, 0)),
+                pl.BlockSpec((G, bs, tile),
+                             lambda k, i, b, ng=ng: (_pq(k, i, ng)[1], b, 0)),
+            ]
+            kernel = _make_weighted_kernel_tiled_g(G, tile)
+            grid = (_packed_nk(ng), ng, Bp // bs)
+            out_spec = pl.BlockSpec((G * tile, G * tile),
+                                    lambda k, i, b, ng=ng: _pq(k, i, ng))
     A = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),

@@ -649,3 +649,75 @@ def test_quantize_tiled_kernel_matches_xla():
     # associate j * (1/s) differently); anything more is a real bug
     diff = np.abs(np.asarray(Qk, np.int32) - np.asarray(Qx, np.int32))
     assert diff.max() <= 1 and (diff != 0).mean() < 0.01
+
+
+def test_grouped_tiled_kernels_match_ungrouped(monkeypatch):
+    """bf16 grouped (G=2) pair/weighted kernels == ungrouped == einsum ref
+    (ADVICE r04: only the int8 grouped kernel had coverage). Also forces a
+    TNF_PALLAS_GROUP_BS that does not divide the padded row count, so the
+    grouped branch's re-pad path runs."""
+    from tensornetworksfork_tpu.ops.pallas import gram as G
+    rng = np.random.default_rng(17)
+    n, rows, tile = 4, 96, 128
+    D = n * tile
+    J = rng.standard_normal((rows, D)).astype(np.float32)
+    K = (J * rng.uniform(0.5, 2.0, rows)[:, None]).astype(np.float32)
+    h = rng.uniform(0.5, 2.0, rows).astype(np.float32)
+    Jb = np.asarray(jnp.asarray(J, jnp.bfloat16), np.float32)
+    Kb = np.asarray(jnp.asarray(K, jnp.bfloat16), np.float32)
+    A_pair_ref = Jb.T @ Kb
+    A_w_ref = (Jb * h[:, None]).T @ Jb
+    J1t = G._retile(jnp.asarray(J, jnp.bfloat16), n, tile)
+    J2t = G._retile(jnp.asarray(K, jnp.bfloat16), n, tile)
+    for forced_bs in ("", "48"):  # 48 does not divide the padded Bp=128
+        if forced_bs:
+            monkeypatch.setenv("TNF_PALLAS_GROUP_BS", forced_bs)
+        else:
+            monkeypatch.delenv("TNF_PALLAS_GROUP_BS", raising=False)
+        A1 = G._gram_pair_tiled_jit(J1t, J2t, interpret=True, tile=tile,
+                                    block=64, mirror=True, group=1)
+        A2 = G._gram_pair_tiled_jit(J1t, J2t, interpret=True, tile=tile,
+                                    block=64, mirror=True, group=2)
+        np.testing.assert_allclose(np.asarray(A2), np.asarray(A1),
+                                   rtol=2e-3, atol=5e-2)
+        sym_ref = np.triu(A_pair_ref) + np.triu(A_pair_ref, 1).T
+        np.testing.assert_allclose(np.asarray(A2)[:D, :D], sym_ref,
+                                   rtol=5e-2, atol=0.25)
+        W1 = G._weighted_gram_tiled_jit(J1t, jnp.asarray(h), interpret=True,
+                                        tile=tile, block=64, mirror=True,
+                                        group=1)
+        W2 = G._weighted_gram_tiled_jit(J1t, jnp.asarray(h), interpret=True,
+                                        tile=tile, block=64, mirror=True,
+                                        group=2)
+        np.testing.assert_allclose(np.asarray(W2), np.asarray(W1),
+                                   rtol=2e-3, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(W2)[:D, :D], A_w_ref,
+                                   rtol=5e-2, atol=0.25)
+
+
+def test_clamp_group_bs_infeasible_falls_back(monkeypatch):
+    """ADVICE r04 (medium): at tile=1024 the (G*tile)^2 f32 out tile alone
+    (16.8 MB) exceeds every VMEM budget — _clamp_group_bs must return None
+    (not an unfitting bs) and the grouped kernels must silently run the
+    ungrouped schedule."""
+    from tensornetworksfork_tpu.ops.pallas import gram as G
+    monkeypatch.delenv("TNF_PALLAS_GROUP_BS", raising=False)
+    assert G._clamp_group_bs(2, 1024, 2048, 1) is None
+    assert G._clamp_group_bs(2, 1024, 2048, 2) is None
+    # odd BS with an over-budget footprint must also signal, not return it
+    assert G._clamp_group_bs(2, 1024, 1023, 2) is None
+    # sanity: the production shape still groups
+    assert G._clamp_group_bs(2, 512, 2048, 2) is not None
+    # end-to-end: group=2 at tile=1024 falls back to ungrouped and stays
+    # correct (int8 path, the one TNF_INT8_MERGE would drive)
+    rng = np.random.default_rng(23)
+    n, rows, tile = 2, 64, 1024
+    J = jnp.asarray(rng.standard_normal((rows, n * tile)), jnp.bfloat16)
+    Jt = G._retile(J, n, tile)
+    Q, s = G.quantize_tiled(Jt, block=32, interpret=True)
+    A2 = G._gram_pair_tiled_q_jit(Q, s, Q, s, interpret=True, tile=tile,
+                                  mirror=True, group=2)
+    A1 = G._gram_pair_tiled_q_jit(Q, s, Q, s, interpret=True, tile=tile,
+                                  mirror=True, group=1)
+    np.testing.assert_allclose(np.asarray(A2), np.asarray(A1), rtol=0,
+                               atol=0)
