@@ -10,10 +10,26 @@ rescaling, plus one optional iterative-refinement pass (`refine=True`) to claw
 back precision on ill-conditioned Grams. Singularity cannot raise inside XLA —
 instead `solve_block` returns an `ok` flag (all-finite check) and the sweep
 driver aborts like the reference's LinAlgError path (network.py:481-484).
+
+Measured ε floor (tests/test_eps_ladder.py, docs/DESIGN.md "Solve numerics
+tiers"): the f32 solve's forward error is ~cond(A+2εI)·6e-8 and one f32
+refinement pass does not move it (the residual itself carries f32 rounding),
+so ε below ~1e-6 on a unit-rescaled Gram buys nothing and ε ≤ 1e-9 at
+cond ≥ 1e8 fails the Cholesky outright. For the reference's deep-ε corners
+(module.py:107,123 run geomspace eps 1e-12 under torch f64),
+`solve_dtype="float64"` reruns the rescale+ridge+factor+solve ON THE HOST in
+f64 via jax.pure_callback — the ridge is then APPLIED in f64, so ε=1e-12 is
+meaningful again; everything around the solve (Gram, Jacobians) stays on
+device. Cost: one host round trip + an O(D³) f64 CPU Cholesky per node
+update — built for the small-D tabular models where those corners live, not
+for flagship-scale nodes.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -25,18 +41,76 @@ def _flatten_system(A: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return A.reshape(D, D), b.reshape(D)
 
 
+def _host_solve_f64(A_f: np.ndarray, b_f: np.ndarray, node_f: np.ndarray,
+                    eps: np.ndarray, method: str) -> np.ndarray:
+    """Host-side float64 rescale + ridge + solve (jax.pure_callback target).
+
+    Receives the UNrescaled flattened system in the device dtype, promotes
+    to f64, and reproduces solve_block's semantics exactly — crucially the
+    2ε ridge is added in f64, so ε values far below f32 resolution (the
+    reference's geomspace 1e-12 corners) actually perturb the system.
+    Returns the step in the input dtype; non-finite on factorization
+    failure (the caller's ok flag handles it, like the reference's
+    LinAlgError path)."""
+    out_dtype = A_f.dtype
+    A = np.asarray(A_f, np.float64)
+    b = np.asarray(b_f, np.float64)
+    node = np.asarray(node_f, np.float64)
+    e = float(np.asarray(eps, np.float64))
+    scale = float(np.abs(np.diagonal(A)).mean()) or 1.0
+    A = A / scale
+    b = b / scale
+    if method == "ridge_trace":
+        e = e * float(np.sum(np.abs(b) ** 2))
+    if method in ("ridge_exact", "ridge_cholesky", "ridge_trace"):
+        A = A + (2.0 * e) * np.eye(A.shape[0])
+        b = b + (2.0 * e) * node
+    try:
+        if method in ("ridge_cholesky", "cholesky"):
+            import scipy.linalg as sla
+            c, low = sla.cho_factor(A, check_finite=False)
+            x = sla.cho_solve((c, low), -b, check_finite=False)
+        else:
+            x = np.linalg.solve(A, -b)
+    except Exception:
+        x = np.full_like(b, np.nan)
+    return x.astype(out_dtype)
+
+
 def solve_block(A: jax.Array, b: jax.Array, node_value: jax.Array,
                 method: str = "exact", eps: float = 0.0,
-                refine: bool = False) -> Tuple[jax.Array, jax.Array]:
+                refine: bool = False,
+                solve_dtype=None) -> Tuple[jax.Array, jax.Array]:
     """Returns (step, ok). step solves (A [+2eps I]) x = -(b [+2eps node]).
 
     Methods: exact | ridge_exact | ridge_cholesky | cholesky | ridge_trace |
     gradient. 'gradient' returns -b directly (steepest descent on the local
     quadratic, reference network.py:321-322).
+
+    solve_dtype="float64" routes the solve through a host f64 callback
+    (see _host_solve_f64) — the supported path for ε below the f32 floor
+    (~1e-6; docs/DESIGN.md). Real dtypes only; complex systems already run
+    complex128 on CPU x64.
     """
     method = method.lower()
     if method == "gradient":
         return -b, jnp.array(True)
+
+    if solve_dtype is not None and str(solve_dtype) not in (
+            "float32", "f32"):
+        if str(solve_dtype) not in ("float64", "f64"):
+            raise ValueError(f"unsupported solve_dtype: {solve_dtype!r}")
+        if jnp.iscomplexobj(A):
+            raise ValueError("solve_dtype='float64' supports real systems "
+                             "only (complex runs complex128 on CPU x64)")
+        A_f, b_f = _flatten_system(A, b)
+        x = jax.pure_callback(
+            partial(_host_solve_f64, method=method),
+            jax.ShapeDtypeStruct(b_f.shape, b_f.dtype),
+            A_f, b_f, node_value.reshape(-1).astype(b_f.dtype),
+            jnp.asarray(eps, jnp.float32), vmap_method="sequential")
+        ok = jnp.all(jnp.isfinite(x))
+        return x.reshape(b.shape), ok
 
     A_f, b_f = _flatten_system(A, b)
     dtype = A_f.dtype

@@ -57,6 +57,10 @@ class SweepConfig:
     max_norm: Optional[float] = None
     timeout: Optional[float] = None
     refine: bool = False  # one iterative-refinement pass after each solve
+    # None (device dtype) | "float64": host f64 rescale+ridge+solve via
+    # pure_callback — the supported tier for eps below the f32 floor
+    # (solve.py, docs/DESIGN.md "Solve numerics tiers")
+    solve_dtype: Optional[str] = None
     max_iter: int = 50    # iterative methods (cg/minres/lanczos)
     tol: float = 1e-6
     verbose: int = 0
@@ -128,6 +132,17 @@ class Sweeper:
         # not headline numbers. benchmarks/epoch_bench.py reports the table.
         self.timers: Dict[str, List[float]] = {}
         self._timing = os.environ.get("TNF_SWEEP_TIMERS", "0") == "1"
+        # The f64 solve tier runs through jax.pure_callback; the axon tunnel
+        # backend has no host-callback support (UNIMPLEMENTED at run time,
+        # surfacing as an opaque singular abort) — fail early and say why.
+        # Standard CPU/TPU/GPU PJRT backends all support host callbacks.
+        if cfg.solve_dtype is not None and str(cfg.solve_dtype) in (
+                "float64", "f64") and jax.default_backend() == "axon":
+            raise ValueError(
+                "solve_dtype='float64' needs host-callback support "
+                "(jax.pure_callback), which the axon tunnel backend lacks. "
+                "Run this config on CPU (jax.config.update('jax_platforms',"
+                "'cpu')) or a directly-attached TPU.")
         # Two-sided stack reuse (reference left/right_update_stacks made
         # incremental, network.py:152-172): every computed environment —
         # near-side advances AND far-chain entries — is recorded per
@@ -175,6 +190,16 @@ class Sweeper:
         if self.cfg.verbose > 0:
             bad = pending[int(np.argmin(oks))][1]
             print(f"Singular system for node {bad}")
+        if self.cfg.solve_dtype is None:
+            import warnings
+            warnings.warn(
+                "Singular/non-finite solve in an f32 sweep. The f32 tier's "
+                "supported eps floor is ~1e-6 on a unit-rescaled Gram "
+                "(docs/DESIGN.md 'Solve numerics tiers'); for the "
+                "reference's deep-eps corners (eps<=1e-9, high condition "
+                "number) set SweepConfig.solve_dtype='float64' (estimator "
+                "kwarg solve_dtype) to run the solve in host f64.",
+                RuntimeWarning, stacklevel=2)
         return False
 
     def _timed(self, phase: str, fn, *args):
@@ -423,7 +448,8 @@ class Sweeper:
             g = g * w_f.astype(g.dtype).reshape((-1,) + (1,) * (g.ndim - 1))
             H = H * w_f.astype(H.dtype).reshape((-1,) + (1,) * (H.ndim - 1))
             A, b = net.gram_and_rhs(ni, J, g, H)
-            step, ok = solve_block(A, b, core, method, eps, cfg.refine)
+            step, ok = solve_block(A, b, core, method, eps, cfg.refine,
+                                   cfg.solve_dtype)
             new_core = apply_update(core, step, cfg.lr, cfg.adaptive_step,
                                     cfg.max_norm, mask)
             # singular guard: keep the old core (the reference's
@@ -784,7 +810,8 @@ class Sweeper:
                     A = mirror_gram(A)
                 if ownout["plan"] is not None:
                     A = net.expand_ownout(A, ownout["plan"]).reshape(D, D)
-                step, ok = solve_block(A, b, core, method, eps, cfg.refine)
+                step, ok = solve_block(A, b, core, method, eps, cfg.refine,
+                                       cfg.solve_dtype)
                 new_core = apply_update(core, step.reshape(core.shape),
                                         cfg.lr, cfg.adaptive_step,
                                         cfg.max_norm, mask)

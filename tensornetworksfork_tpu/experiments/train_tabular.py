@@ -38,7 +38,8 @@ def build_model(cfg: RunConfig, input_dim: int):
             num_swipes=cfg.num_swipes, model_type=mt, task=cfg.task,
             train_operator=cfg.train_operator, cum_sum=cfg.cum_sum,
             early_stopping=cfg.early_stopping, verbose=cfg.verbose,
-            precision=cfg.precision)
+            precision=cfg.precision, refine=cfg.refine,
+            solve_dtype=cfg.solve_dtype)
     if mt == "tnml":
         # tabular loaders standardize features; the sin-cos embedding needs
         # [0, 1] inputs (reference applies it to raw MNIST pixels)

@@ -192,7 +192,8 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
                  method="ridge_cholesky", num_swipes=30, model_type="tt",
                  task="regression", train_operator=False, cum_sum=False,
                  early_stopping=0, dtype=jnp.float32, verbose=0,
-                 timeout=None, precision=None):
+                 timeout=None, precision=None, refine=False,
+                 solve_dtype=None):
         self.N = N
         self.r = r
         self.output_dim = output_dim
@@ -224,6 +225,13 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
         # the engine knobs around fit/predict
         from ..utils.precision import validate_tier
         self.precision = validate_tier(precision)
+        # solve numerics (docs/DESIGN.md "Solve numerics tiers"): refine adds
+        # one f32 iterative-refinement pass per solve; solve_dtype="float64"
+        # runs the rescale+ridge+solve in host f64 (the supported tier for
+        # eps below the f32 floor ~1e-6 — the reference's geomspace 1e-12
+        # corners, module.py:107,123, run under torch f64)
+        self.refine = refine
+        self.solve_dtype = solve_dtype
         self._model = None
         self.input_dim = None
         if self.perturb and self.output_dim > 1:
@@ -337,7 +345,8 @@ class TensorTrainRegressor(BaseEstimator, RegressorMixin):
         cfg = SweepConfig(
             num_swipes=self.num_swipes, batch_size=self.batch_size,
             method=self.method, eps=self.eps, eps_decay=self.eps_decay,
-            lr=self.lr, verbose=self.verbose, timeout=self.timeout)
+            lr=self.lr, verbose=self.verbose, timeout=self.timeout,
+            refine=self.refine, solve_dtype=self.solve_dtype)
         is_sum = isinstance(self._model, SumLayer)
         if is_sum:
             # train_operator mirrors SumOfNetworks(train_operators=...),

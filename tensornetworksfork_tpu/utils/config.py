@@ -43,6 +43,11 @@ class RunConfig:
     # numerics tier: reference | fast | fastest | None = respect TNF_* env
     # (utils/precision.py; VERDICT r03 weak #5)
     precision: Optional[str] = None
+    # solve numerics (docs/DESIGN.md "Solve numerics tiers"): refine = one
+    # f32 iterative-refinement pass; solve_dtype="float64" = host f64 solve
+    # for eps below the f32 floor (~1e-6)
+    refine: bool = False
+    solve_dtype: Optional[str] = None
     eps: float = 5.0
     eps_decay: Optional[float] = 0.25
     lr: float = 1.0
