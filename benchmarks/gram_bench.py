@@ -262,6 +262,26 @@ def main():
             print(f"{variant}: D={D}  single-call {t*1e3:.1f} ms | "
                   f"slope {ts*1e3:.1f} ms")
             return
+    elif variant.startswith("kernelonly"):
+        # the bf16 packed pair kernel alone on pre-tiled operands (the
+        # TNF_PALLAS_GROUP A/B target: set the env var before running)
+        from tensornetworksfork_tpu.ops.pallas.gram import (
+            gram_pair_tiled, plan_tiles, retile_rows)
+        tile, block, n, Dp = plan_tiles(D, 2)
+        Jt0 = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D), n, tile)
+        Jt0 = jax.device_put(Jt0)
+
+        @jax.jit
+        def fk(Jt):
+            return gram_pair_tiled(Jt, Jt, tile=tile, block=block)
+
+        t = timeit(fk, Jt0)
+        ts = slope_timeit(fk, Jt0)
+        flops = 2 * B * C * D * D
+        print(f"{variant}[group={os.environ.get('TNF_PALLAS_GROUP', '2')}]"
+              f": B={B} C={C} D={D}  single-call {t*1e3:.1f} ms | "
+              f"slope {ts*1e3:.1f} ms  {flops/ts/1e12:.1f} TFLOP/s")
+        return
     elif variant.startswith("qkernelonly"):
         # the int8 packed pair kernel alone on pre-quantized operands
         from tensornetworksfork_tpu.ops.pallas.gram import (

@@ -45,6 +45,57 @@ FIT_WALL_S = 600  # SIGALRM guard per fit: a wedged remote compile skips the
                   # quirks; same pattern as experiments/sweep.py)
 
 
+def _load_metrics(path):
+    """CSV -> {(dataset, family): [metric per row]} using the task's headline
+    metric (test_accuracy for classification, test_r2 for regression)."""
+    import csv
+    import collections
+    cells = collections.defaultdict(list)
+    with open(path) as f:
+        for r in csv.DictReader(f):
+            for k in ("test_accuracy", "test_r2"):
+                v = r.get(k)
+                if v not in (None, ""):
+                    cells[(r["dataset"], r["family"])].append(float(v))
+                    break
+    return cells
+
+
+def compare_tables(base_csv, other_csv, family_tol_pp=0.5, cell_tol_pp=2.0):
+    """Numeric-tier regression gate (VERDICT r04 weak #6): assert the other
+    table's per-family mean metric tracks the base within family_tol_pp
+    percentage points (and each (dataset, family) cell within cell_tol_pp —
+    cells are 3-seed means, so noisier). Tolerances calibrated on the
+    committed round-4 int8-vs-f32 tables: worst family delta 0.31 pp, worst
+    cell delta 1.16 pp; a −2 pp family regression trips the family gate.
+    Returns a list of violation strings (empty = pass)."""
+    import collections
+    base = _load_metrics(base_csv)
+    other = _load_metrics(other_csv)
+    violations = []
+    fams = collections.defaultdict(lambda: ([], []))
+    for key in sorted(base):
+        if key not in other:
+            violations.append(f"missing cell in {other_csv}: {key}")
+            continue
+        a, b = base[key], other[key]
+        fams[key[1]][0].extend(a)
+        fams[key[1]][1].extend(b)
+        d = (sum(b) / len(b) - sum(a) / len(a)) * 100
+        if abs(d) > cell_tol_pp:
+            violations.append(
+                f"cell {key[0]}/{key[1]}: delta {d:+.2f} pp "
+                f"(tol {cell_tol_pp})")
+    for fam, (a, b) in sorted(fams.items()):
+        if not a or not b:
+            continue
+        d = (sum(b) / len(b) - sum(a) / len(a)) * 100
+        if abs(d) > family_tol_pp:
+            violations.append(
+                f"family {fam}: mean delta {d:+.2f} pp (tol {family_tol_pp})")
+    return violations
+
+
 class _Timeout(BaseException):
     # BaseException, NOT Exception: train_tabular.run wraps model.fit in a
     # broad `except Exception` (singular-abort parity), which would swallow
@@ -66,7 +117,22 @@ def main(argv=None):
     ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu"),
                     help="accuracy table is platform-independent; cpu avoids "
                          "120 tunnel compiles (CLAUDE.md env quirks)")
+    ap.add_argument("--compare", nargs=2, metavar=("BASE", "OTHER"),
+                    help="no fits: regression-gate OTHER csv against BASE "
+                         "(per-family/cell mean deltas); exit 1 + offending "
+                         "rows on violation")
+    ap.add_argument("--family_tol_pp", type=float, default=0.5)
+    ap.add_argument("--cell_tol_pp", type=float, default=2.0)
     args = ap.parse_args(argv)
+
+    if args.compare:
+        violations = compare_tables(args.compare[0], args.compare[1],
+                                    args.family_tol_pp, args.cell_tol_pp)
+        for v in violations:
+            print("VIOLATION:", v)
+        print(f"zoo compare: {args.compare[1]} vs {args.compare[0]} -> "
+              f"{'FAIL' if violations else 'OK'}")
+        return 1 if violations else 0
 
     if args.platform == "cpu":
         import jax

@@ -396,3 +396,40 @@ def test_append_results_csv_tolerates_legacy_overlong_rows(tmp_path):
     with open(p, newline="") as f:
         widths = {len(r) for r in csv.reader(f)}
     assert widths == {4}
+
+
+def test_zoo_compare_gate_passes_on_committed_tables_and_catches_regression(
+        tmp_path):
+    """The int8 numerics gate (VERDICT r04 weak #6): the committed f32 vs
+    int8 zoo tables must pass the automated compare, and an injected −2 pp
+    family regression must fail it with the offending rows named."""
+    import csv
+    import shutil
+
+    from tensornetworksfork_tpu.experiments.zoo_eval import compare_tables
+
+    base = "results/zoo_eval.csv"
+    other = "results/zoo_eval_int8.csv"
+    assert compare_tables(base, other) == []
+
+    # inject a -2 pp regression into every 'tt' family row of a copy
+    broken = str(tmp_path / "zoo_int8_broken.csv")
+    with open(other) as f:
+        rows = list(csv.DictReader(f))
+        fields = f.seek(0) or next(csv.reader(open(other)))
+    for r in rows:
+        if r["family"] == "tt" and r.get("test_accuracy"):
+            r["test_accuracy"] = str(float(r["test_accuracy"]) - 0.02)
+        if r["family"] == "tt" and r.get("test_r2"):
+            r["test_r2"] = str(float(r["test_r2"]) - 0.02)
+    with open(broken, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+    violations = compare_tables(base, broken)
+    assert any("family tt:" in v for v in violations), violations
+
+    # the CLI surface: exit 0 on the committed tables
+    from tensornetworksfork_tpu.experiments.zoo_eval import main
+    assert main(["--compare", base, other]) == 0
+    assert main(["--compare", base, broken]) == 1
