@@ -160,9 +160,51 @@ def conv_tt_epoch_seconds(N=4, r=8, CB=4, P=50, pp=17, C=9, S=2048,
     return time.perf_counter() - t_start
 
 
+def measure_flagship_rates(D_probe=2592, S_probe=192, C=9, seed=0, reps=5):
+    """Median-of-reps torch-f64 rates for the two dominant kernels (the flat
+    Gram matmul Mᵀ(WM) and the Cholesky solve). Single-shot timings on this
+    contended 1-core host swung the extrapolated anchor ~2x between same-day
+    runs (VERDICT r04 weak #2); the median over reps plus caching in
+    results/baseline_cache.json makes the anchor reproducible. Returns a
+    dict with the rates and their relative spreads ((max-min)/median)."""
+    import statistics
+
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+    g = torch.Generator().manual_seed(seed)
+    M = torch.randn(S_probe * C, D_probe, generator=g)
+    w = torch.rand(S_probe * C, 1, generator=g) + 0.5
+
+    t_grams, t_chols = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        A = M.T @ (w * M)
+        t_grams.append(time.perf_counter() - t0)
+        A = A / A.diagonal().abs().mean() + 2.0 * torch.eye(D_probe)
+        t0 = time.perf_counter()
+        L = torch.linalg.cholesky(A)
+        torch.cholesky_solve(torch.ones(D_probe, 1), L)
+        t_chols.append(time.perf_counter() - t0)
+
+    def med_spread(ts):
+        m = statistics.median(ts)
+        return m, (max(ts) - min(ts)) / m
+
+    t_gram, gram_spread = med_spread(t_grams)
+    t_chol, chol_spread = med_spread(t_chols)
+    return {
+        "gram_rate": 2.0 * S_probe * C * D_probe ** 2 / t_gram,
+        "chol_rate": (D_probe ** 3 / 3) / t_chol,
+        "gram_spread": round(gram_spread, 3),
+        "chol_spread": round(chol_spread, 3),
+        "D_probe": D_probe, "reps": reps,
+    }
+
+
 def flagship_epoch_seconds_extrapolated(N=4, r=18, CB=8, P=50, pp=17, C=9,
                                         S=53248, D_probe=2592, S_probe=192,
-                                        seed=0, verbose=False):
+                                        seed=0, verbose=False, rates=None):
     """Extrapolated torch-CPU-f64 epoch seconds at the FLAGSHIP shapes.
 
     A measured flagship epoch is infeasible (the D=16200 Gram alone is
@@ -171,26 +213,14 @@ def flagship_epoch_seconds_extrapolated(N=4, r=18, CB=8, P=50, pp=17, C=9,
     measurable size — the flat Gram matmul Mᵀ(WM) and the Cholesky solve —
     and scales analytically to the flagship epoch (Gram + solve flops only;
     env/Jacobian recompute terms are DROPPED, which strictly favours the
-    baseline). Rates measured at D_probe=2592 (= r·P·r for r=18, P=8).
+    baseline). Rates measured at D_probe=2592 (= r·P·r for r=18, P=8),
+    median-of-5 (see measure_flagship_rates); pass `rates` (its return
+    value, possibly loaded from results/baseline_cache.json) to skip
+    re-measuring.
     """
-    import torch
-
-    torch.set_default_dtype(torch.float64)
-    g = torch.Generator().manual_seed(seed)
-    M = torch.randn(S_probe * C, D_probe, generator=g)
-    w = torch.rand(S_probe * C, 1, generator=g) + 0.5
-
-    t0 = time.perf_counter()
-    A = M.T @ (w * M)
-    t_gram = time.perf_counter() - t0
-    gram_rate = 2.0 * S_probe * C * D_probe ** 2 / t_gram
-
-    A = A / A.diagonal().abs().mean() + 2.0 * torch.eye(D_probe)
-    t0 = time.perf_counter()
-    L = torch.linalg.cholesky(A)
-    torch.cholesky_solve(torch.ones(D_probe, 1), L)
-    t_chol = time.perf_counter() - t0
-    chol_rate = (D_probe ** 3 / 3) / t_chol
+    if rates is None:
+        rates = measure_flagship_rates(D_probe, S_probe, C, seed)
+    gram_rate, chol_rate = rates["gram_rate"], rates["chol_rate"]
 
     # flagship per-epoch flops (2 half-sweeps over cores + conv blocks)
     core_D = [C * P * r] + [r * P * r] * (N - 2) + [r * P]
