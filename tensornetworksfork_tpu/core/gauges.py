@@ -3,7 +3,8 @@
 Reimplements the reference's node orthonormalization
 (`/root/reference/tensor/network.py:611-707`): factor a core with QR, keep the
 orthonormal factor, push the triangular factor into the neighbouring main
-node. The forward map is exactly invariant (tested in tests/test_gauges.py).
+node. The forward map is exactly invariant (tested in tests/test_layers.py::
+test_qr_gauge_preserves_forward).
 
 The reference's right-orthonormalization uses a flip-trick RQ; here we use a
 plain QR of the bond-last matrix and push Rᵀ — an equivalent gauge (the gauge

@@ -153,9 +153,18 @@ def _group() -> int:
     the bf16/int8 kernels pay pairs x rows x tile x 2 operand bytes. With
     G > 1 the grid enumerates GxG pair-BLOCKS: one (G, bs, tile) load per
     operand serves G^2 tile dots, cutting operand DMA by ~G on a DMA-bound
-    kernel. G=1 reproduces the round-3 schedule exactly."""
+    kernel. G=1 reproduces the round-3 schedule exactly.
+
+    Default 1: the round-5 hardware A/B at the flagship shape (slope-timed,
+    benchmarks/gram_bench.py kernelonly/qkernelonly, v5e 2026-08-20) has
+    the grouped schedule LOSING on both quantized dtypes — bf16 37.0 vs
+    30.6 ms, int8 19.9 vs 18.0 — the G-row operand windows halve the
+    per-step DMA streams' length and the round-robin pair map already
+    near-perfectly reuses slabs across adjacent grid steps. The grouped
+    grids stay available (TNF_PALLAS_GROUP=2) for shapes where slab DMA
+    dominates harder."""
     try:
-        g = int(os.environ.get("TNF_PALLAS_GROUP", "2"))
+        g = int(os.environ.get("TNF_PALLAS_GROUP", "1"))
     except ValueError:
         g = 1
     return max(g, 1)
