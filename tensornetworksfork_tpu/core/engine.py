@@ -647,11 +647,12 @@ class Network:
         D=16200) with an upper-tiles-only read inside the pipeline.
 
         Default OFF (TNF_PALLAS_ACC=1 enables): measured NEUTRAL at the
-        flagship A2 update (70 vs 68 ms/chunk) — the acc tile's VMEM
-        buffers force the sample block 2048 -> 1536 and the extra input
-        stream offsets the saved add pass. Kept because the balance flips
-        for workloads where the (D, D) add pass dominates (more, smaller
-        chunks; XLA failing to fuse the add)."""
+        flagship A2 update on the bf16 kernels (70 vs 68 ms/chunk) — the
+        acc tile's VMEM buffers force the sample block 2048 -> 1536 and the
+        extra input stream offsets the saved add pass. The int8 tier
+        (round 5) runs a quantized acc kernel whose half-size operand slabs
+        keep the full 2048 block (planned at itemsize 1); measure per
+        workload before enabling."""
         if os.environ.get("TNF_PALLAS_ACC", "0") != "1":
             return None
         if not self._packed_kernel_route(pj):
@@ -760,18 +761,20 @@ class Network:
                                            retile_hmix, retile_rows,
                                            weighted_gram_tiled)
             interp = not _on_tpu()
-            tile, block, n, Dp = plan_tiles(
-                D, jnp.dtype(J3.dtype).itemsize, acc=acc is not None)
-            mirror = not defer_mirror and acc is None
             # int8 tier (TNF_GRAM_DTYPE=int8): quantize both Gram operands
             # per (slab, sample-block, column) and run the int8 packed-syrk
             # pair kernel — the bf16 kernel is DMA-bound, so int8 halves
             # its bytes on top of the 1.45x MXU rate. Everything else on
-            # this path (retile/kmix, rhs) stays on the bf16 tier. The
-            # in-kernel chunk accumulator (acc) keeps the bf16 kernels —
-            # the acc variant isn't quantized (TNF_PALLAS_ACC is default
-            # off and measured neutral).
-            quant = gd is not None and gram_quant() and acc is None
+            # this path (retile/kmix, rhs) stays on the bf16 tier. With an
+            # in-kernel chunk accumulator (acc) the int8 acc kernel runs —
+            # its half-size operand slabs leave VMEM room to keep the full
+            # sample block (the bf16 acc variant had to shrink 2048 -> 1536,
+            # which ate the saved add pass; plan with the int8 itemsize).
+            quant = gd is not None and gram_quant()
+            tile, block, n, Dp = plan_tiles(
+                D, 1 if (quant and acc is not None)
+                else jnp.dtype(J3.dtype).itemsize, acc=acc is not None)
+            mirror = not defer_mirror and acc is None
             # Merged int8 tiles (TNF_INT8_MERGE=1 opts in): the quantizer
             # fuses two ADJACENT D-slabs into one 1024-wide int8 tile for
             # free (per-column scales are width-independent — bit-identical
@@ -793,18 +796,20 @@ class Network:
             # block measures 22.2 ms — SLOWER than the narrow plan's 18.4
             # (4x the grid visits eat the DMA saving). Semantics are
             # interpret-verified (tests/test_pallas.py merge tests).
-            qmerge = (2 if quant and n % 2 == 0 and tile == 512
+            qmerge = (2 if quant and acc is None and n % 2 == 0
+                      and tile == 512
                       and os.environ.get("TNF_INT8_MERGE", "0") == "1"
                       else 1)
             qblock = min(block, 512) if qmerge > 1 else block
 
-            def qpair(Jt_, Kt_):
+            def qpair(Jt_, Kt_, acc_s=None):
                 Q1, s1 = quantize_tiled(Jt_, qblock, interpret=interp,
                                         merge=qmerge)
                 Q2, s2 = quantize_tiled(Kt_, qblock, interpret=interp,
                                         merge=qmerge)
                 return gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=interp,
-                                         tile=tile * qmerge, mirror=mirror)
+                                         tile=tile * qmerge, mirror=mirror,
+                                         acc=acc_s)
             # Fused retile+mix kernel (TNF_KMIX=0 reverts to the slab-wise
             # XLA K einsum): one read of J produces class-major Jt AND
             # Kt = H*J — XLA lowered the (S,C,C)x(S,C,D) mixing as an MXU
@@ -850,7 +855,8 @@ class Network:
                         # the bf16-planned shape, misaligning the scales)
                         hr = hess_s.reshape(rows).astype(jnp.float32)
                         A = qpair(Jt, (Jt.astype(jnp.float32)
-                                       * hr[None, :, None]).astype(Jt.dtype))
+                                       * hr[None, :, None]).astype(Jt.dtype),
+                                  acc_s)
                     else:
                         # fused weighting: the H-weighted copy of J never
                         # hits HBM
@@ -860,7 +866,7 @@ class Network:
                             mirror=mirror, acc=acc_s)
                 elif kmix:
                     if quant:
-                        A = qpair(Jt, Kt)
+                        A = qpair(Jt, Kt, acc_s)
                     else:
                         A = gram_pair_tiled(Jt, Kt, interpret=interp,
                                             tile=tile, block=block,
@@ -878,7 +884,7 @@ class Network:
                     # composition measures 39.9 ms vs bf16's 49.6 at the
                     # flagship shape, benchmarks/gram_bench.py tiledq)
                     if quant:
-                        A = qpair(Jt, Kt)
+                        A = qpair(Jt, Kt, acc_s)
                     else:
                         A = gram_pair_tiled(Jt, Kt, interpret=interp,
                                             tile=tile, block=block,

@@ -92,6 +92,7 @@ def _numeric_env_key():
             os.environ.get("TNF_FLAT_GRAM_MAX_UNROLL", ""),
             os.environ.get("TNF_FULLBATCH_MAX_BYTES", ""),
             os.environ.get("TNF_INT8_MERGE", "0"),
+            os.environ.get("TNF_PALLAS_ACC", "0"),
             os.environ.get("TNF_KMIX", "1"),
             os.environ.get("TNF_PALLAS_GROUP", "1"),
             os.environ.get("TNF_PALLAS_GROUP_BS", ""),

@@ -1055,10 +1055,32 @@ def _pair_kernel_tiled_q(s1_ref, s2_ref, j1_ref, j2_ref, out_ref):
         out_ref[:] = out_ref[:] + tf
 
 
+def _make_pair_kernel_tiled_q_acc(n: int):
+    """_pair_kernel_tiled_q with an in-kernel chunk accumulator (see
+    _make_pair_kernel_tiled_acc for the duplicate-round bookkeeping)."""
+    def kernel(a_ref, s1_ref, s2_ref, j1_ref, j2_ref, out_ref):
+        t = jax.lax.dot_general(
+            j1_ref[0].T, j2_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
+        tf = t.astype(jnp.float32) * (s1_ref[0, 0] * s2_ref[0, 0])
+        add_acc = _acc_first_visit(n)
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            out_ref[:] = tf + jnp.where(add_acc, a_ref[:],
+                                        jnp.zeros_like(a_ref))
+
+        @pl.when(pl.program_id(2) != 0)
+        def _():
+            out_ref[:] = out_ref[:] + tf
+    return kernel
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "mirror", "group"))
 def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
-                           s2: jax.Array, interpret: bool = False,
+                           s2: jax.Array, acc=None, interpret: bool = False,
                            tile: int = 512, mirror: bool = False,
                            group: int = 1):
     """gram_pair_tiled over int8-quantized operands from quantize_tiled.
@@ -1085,6 +1107,24 @@ def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
         pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[0], b, 0)),
         pl.BlockSpec((1, BS, tile), lambda k, i, b: (_pq(k, i, n)[1], b, 0)),
     ]
+    if acc is not None:
+        # in-kernel chunk accumulation (the int8 counterpart of the bf16
+        # acc kernels): the (Dp, Dp) f32 carry streams in per (k, i) upper
+        # tile and is added on the first sample-block visit — replaces the
+        # caller's separate add_packed_upper pass over the raw carry.
+        # Ungrouped only (callers route through _effective_group).
+        A = pl.pallas_call(
+            _make_pair_kernel_tiled_q_acc(n),
+            out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+            grid=grid,
+            in_specs=[pl.BlockSpec((tile, tile),
+                                   lambda k, i, b: _pq(k, i, n))] + in_specs,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(acc, s1c, s2r, Q1, Q2)
+        if mirror:
+            A = jnp.triu(A) + jnp.triu(A, 1).T
+        return A
     if group > 1:
         G = group
         ng = n // G
@@ -1126,7 +1166,7 @@ def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
 
 
 def gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=False, tile=512,
-                      mirror=False):
+                      mirror=False, acc=None):
     if Q1.shape != Q2.shape or s1.shape != s2.shape:
         # the kernel derives ONE sample-block size from s1 and indexes both
         # scale arrays with it — operands quantized with different blocks
@@ -1136,9 +1176,10 @@ def gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=False, tile=512,
             f"int8 Gram operands must share one quantization layout: "
             f"Q {Q1.shape} vs {Q2.shape}, scales {s1.shape} vs {s2.shape}")
     CALLS["gram_pair_q"] += 1
-    return _gram_pair_tiled_q_jit(Q1, s1, Q2, s2, interpret=interpret,
+    return _gram_pair_tiled_q_jit(Q1, s1, Q2, s2, acc=acc,
+                                  interpret=interpret,
                                   tile=tile, mirror=mirror,
-                                  group=_effective_group(Q1.shape[0], 1))
+                                  group=_effective_group(Q1.shape[0], 1, acc))
 
 
 def _make_own_out_kernel():

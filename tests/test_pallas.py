@@ -721,3 +721,73 @@ def test_clamp_group_bs_infeasible_falls_back(monkeypatch):
                                   mirror=True, group=1)
     np.testing.assert_allclose(np.asarray(A2), np.asarray(A1), rtol=0,
                                atol=0)
+
+
+def test_gram_pair_tiled_q_acc_matches_add(monkeypatch):
+    """int8 in-kernel chunk accumulation (round 5): two chunks through the
+    acc kernel == kernel-then-add_packed_upper, including the even-n
+    duplicate-round bookkeeping (n=2 exercises the distance-n/2 twice-visit
+    path) and odd n."""
+    from tensornetworksfork_tpu.ops.pallas.gram import (add_packed_upper,
+                                                        gram_pair_tiled_q,
+                                                        quantize_tiled)
+    monkeypatch.setenv("TNF_PALLAS_GROUP", "1")
+    rng = np.random.default_rng(9)
+    for n in (2, 3):
+        rows, tile = 96, 128
+        Dp = n * tile
+        chunks = []
+        for c in range(2):
+            J = jnp.asarray(rng.standard_normal((n, rows, tile)), jnp.float32)
+            K = jnp.asarray(rng.standard_normal((n, rows, tile)), jnp.float32)
+            chunks.append(quantize_tiled(J, block=32)
+                          + quantize_tiled(K, block=32))
+        # reference: raw kernel per chunk + packed add accumulation
+        acc_ref = jnp.zeros((Dp, Dp), jnp.float32)
+        for Q1, s1, Q2, s2 in chunks:
+            A = gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=True, tile=tile)
+            acc_ref = add_packed_upper(acc_ref, A, tile=tile, interpret=True)
+        # acc kernel: carry flows through the kernel itself
+        acc = jnp.zeros((Dp, Dp), jnp.float32)
+        for Q1, s1, Q2, s2 in chunks:
+            acc = gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=True,
+                                    tile=tile, acc=acc)
+        iu = np.triu_indices(Dp)
+        np.testing.assert_allclose(np.asarray(acc)[iu],
+                                   np.asarray(acc_ref)[iu],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_engine_int8_acc_route_matches(monkeypatch):
+    """TNF_PALLAS_ACC=1 under the int8 tier: the sweep's in-kernel-acc node
+    update equals the default add-pass route (both interpret-mode here)."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
+    from tensornetworksfork_tpu.models.layers import TensorTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import SquareBregFunction
+
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "int8")
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    monkeypatch.setenv("TNF_FULLBATCH_MAX_BYTES", "0")  # keep chunking on
+    rng = np.random.default_rng(12)
+    X = jnp.asarray(rng.standard_normal((64, 4)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((64, 1)), jnp.float32)
+    cfg = SweepConfig(num_swipes=1, batch_size=16, method="ridge_cholesky",
+                      eps=1.0)
+
+    def run_once():
+        layer = TensorTrainLayer(2, 4, 4, output_shape=(1,), seed=3)
+        net = Network(layer.topology, use_pallas=True)
+        params, ok = Sweeper(net, SquareBregFunction(), cfg).run(
+            [dict(layer.params)], X, y)
+        assert ok
+        return params[0]
+
+    monkeypatch.setenv("TNF_PALLAS_ACC", "0")
+    p_add = run_once()
+    monkeypatch.setenv("TNF_PALLAS_ACC", "1")
+    p_acc = run_once()
+    for k in p_add:
+        np.testing.assert_allclose(np.asarray(p_add[k]),
+                                   np.asarray(p_acc[k]),
+                                   rtol=2e-4, atol=2e-4)
