@@ -283,10 +283,15 @@ def main():
               f"slope {ts*1e3:.1f} ms  {flops/ts/1e12:.1f} TFLOP/s")
         return
     elif variant.startswith("qkernelonly"):
-        # the int8 packed pair kernel alone on pre-quantized operands
+        # the int8 packed pair kernel alone on pre-quantized operands;
+        # qkernelonly<block> (e.g. qkernelonly3072) overrides the sample
+        # block — the engine plans at the bf16 itemsize, but the int8
+        # kernel's half-size slabs leave VMEM room for longer DMA bursts
         from tensornetworksfork_tpu.ops.pallas.gram import (
             gram_pair_tiled_q, plan_tiles, quantize_tiled, retile_rows)
         tile, block, n, Dp = plan_tiles(D, 2)
+        if variant != "qkernelonly":
+            block = int(variant[len("qkernelonly"):])
         Jt0 = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D), n, tile)
         Q0, s0 = quantize_tiled(Jt0, block)
         Q0, s0 = jax.device_put(Q0), jax.device_put(s0)
