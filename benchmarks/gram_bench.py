@@ -306,6 +306,29 @@ def main():
         print(f"{variant}: B={B} C={C} D={D}  single-call {t*1e3:.1f} ms | "
               f"slope {ts*1e3:.1f} ms  {flops/ts/1e12:.1f} TFLOP/s")
         return
+    elif variant.startswith("qbandonly"):
+        # resident-band int8 chain (incl. the fused carry add) on
+        # pre-quantized operands: compare against qkernelonly + ~2.7 ms
+        # add_packed_upper (the pair it replaces)
+        from tensornetworksfork_tpu.ops.pallas.gram import (
+            gram_pair_band_q, plan_tiles, quantize_tiled, retile_rows)
+        tile, block, n, Dp = plan_tiles(D, 1, acc=True)
+        Jt0 = retile_rows(J.astype(jnp.bfloat16).reshape(B * C, D), n, tile)
+        Q0, s0 = quantize_tiled(Jt0, block)
+        A0 = jnp.zeros((Dp, Dp), jnp.float32)
+        Q0, s0, A0 = jax.device_put(Q0), jax.device_put(s0), jax.device_put(A0)
+
+        @jax.jit
+        def fb(Q, s, A):
+            return gram_pair_band_q(Q, s, Q, s, A, tile=tile)
+
+        t = timeit(fb, Q0, s0, A0)
+        ts = slope_timeit(fb, Q0, s0, A0)
+        flops = 2 * B * C * D * D
+        print(f"{variant}[HB={os.environ.get('TNF_PALLAS_BAND_HB', '3')}]"
+              f": B={B} C={C} D={D}  single-call {t*1e3:.1f} ms | "
+              f"slope {ts*1e3:.1f} ms  {flops/ts/1e12:.1f} TFLOP/s")
+        return
     elif variant.startswith("quantonly"):
         # the quantization pass alone: the Pallas kernel is single-pass —
         # one bf16 read + int8 write (+ negligible scales)

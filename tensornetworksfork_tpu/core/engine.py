@@ -653,15 +653,33 @@ class Network:
         (round 5) runs a quantized acc kernel whose half-size operand slabs
         keep the full 2048 block (planned at itemsize 1); measure per
         workload before enabling."""
-        if os.environ.get("TNF_PALLAS_ACC", "0") != "1":
+        from ..ops.pallas.gram import band_enabled, plan_tiles
+        if (os.environ.get("TNF_PALLAS_ACC", "0") != "1"
+                and not band_enabled()):
             return None
         if not self._packed_kernel_route(pj):
             return None
-        from ..ops.pallas.gram import plan_tiles
         D = pj["a0_sz"] * pj["r_sz"]
         _, _, _, Dp = plan_tiles(D, jnp.dtype(pj["arr"].dtype).itemsize,
                                  acc=True)
         return jnp.zeros((Dp, Dp), jnp.float32)
+
+    def packed_gram_finisher(self, pj):
+        """fn(A_raw_padded) -> (D, D) symmetric A for the in-kernel-acc
+        carry: band layout (mirror_band) under TNF_PALLAS_BAND, raw-upper
+        (slice + mirror_gram) otherwise. Static — resolved at trace time
+        alongside packed_gram_acc_init."""
+        from ..ops.pallas.gram import (band_enabled, mirror_band,
+                                       mirror_gram, plan_tiles)
+        D = pj["a0_sz"] * pj["r_sz"]
+        if band_enabled():
+            # band implies the quant route, which plans at the int8 itemsize
+            tile, _, n, _ = plan_tiles(D, 1, acc=True)
+
+            def fin(A):
+                return mirror_band(A, n, tile)[:D, :D]
+            return fin
+        return lambda A: mirror_gram(A[:D, :D])
 
     def packed_gram_pad(self, pj):
         """(Dp, tile) of the tiled kernel route's PADDED raw A, or None when
@@ -807,6 +825,14 @@ class Network:
                                         merge=qmerge)
                 Q2, s2 = quantize_tiled(Kt_, qblock, interpret=interp,
                                         merge=qmerge)
+                if acc_s is not None:
+                    from ..ops.pallas.gram import (band_enabled,
+                                                   gram_pair_band_q)
+                    if band_enabled():
+                        # resident-band chain: carry rides the kernels,
+                        # result in band layout (packed_gram_finisher)
+                        return gram_pair_band_q(Q1, s1, Q2, s2, acc_s,
+                                                interpret=interp, tile=tile)
                 return gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=interp,
                                          tile=tile * qmerge, mirror=mirror,
                                          acc=acc_s)

@@ -93,6 +93,8 @@ def _numeric_env_key():
             os.environ.get("TNF_FULLBATCH_MAX_BYTES", ""),
             os.environ.get("TNF_INT8_MERGE", "0"),
             os.environ.get("TNF_PALLAS_ACC", "0"),
+            os.environ.get("TNF_PALLAS_BAND", "0"),
+            os.environ.get("TNF_PALLAS_BAND_HB", "3"),
             os.environ.get("TNF_KMIX", "1"),
             os.environ.get("TNF_PALLAS_GROUP", "1"),
             os.environ.get("TNF_PALLAS_GROUP_BS", ""),
@@ -804,11 +806,17 @@ class Sweeper:
                     return (A_acc + A, b_acc + b, loss_acc + loss.sum()), None
 
                 (A, b, loss_sum), _ = jax.lax.scan(body, (A0, b0, 0.0), pieces)
-                if in_kernel_acc or pad is not None:
-                    A = A[:D, :D]
-                if deferred["mirror"]:
-                    from ..ops.pallas.gram import mirror_gram
-                    A = mirror_gram(A)
+                if in_kernel_acc:
+                    # in-kernel-accumulated carry: the engine knows the raw
+                    # layout (band positions under TNF_PALLAS_BAND, padded
+                    # raw-upper otherwise) and finishes accordingly
+                    A = net.packed_gram_finisher(pj0)(A)
+                else:
+                    if pad is not None:
+                        A = A[:D, :D]
+                    if deferred["mirror"]:
+                        from ..ops.pallas.gram import mirror_gram
+                        A = mirror_gram(A)
                 if ownout["plan"] is not None:
                     A = net.expand_ownout(A, ownout["plan"]).reshape(D, D)
                 step, ok = solve_block(A, b, core, method, eps, cfg.refine,

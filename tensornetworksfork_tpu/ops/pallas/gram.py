@@ -146,6 +146,15 @@ def _packed_enabled() -> bool:
     return os.environ.get("TNF_PALLAS_PACKED", "1") == "1"
 
 
+def band_enabled() -> bool:
+    """Resident-band int8 schedule (TNF_PALLAS_BAND): j1 slabs stay in VMEM
+    across the pair round, cutting the packed grid's operand re-reads ~2x,
+    and the chunk carry chains through the kernels (no separate add pass).
+    Requires the quantized route (int8 slabs are small enough to hold a
+    3-block resident window)."""
+    return os.environ.get("TNF_PALLAS_BAND", "0") == "1" and gram_quant()
+
+
 def _group() -> int:
     """Pair-group size G for the packed-tiled grids (TNF_PALLAS_GROUP).
 
@@ -1163,6 +1172,163 @@ def _gram_pair_tiled_q_jit(Q1: jax.Array, s1: jax.Array, Q2: jax.Array,
     if mirror:
         A = jnp.triu(A) + jnp.triu(A, 1).T
     return A
+
+
+def _make_band_kernel_q(n: int):
+    """Resident-band int8 pair kernel body (see gram_pair_band_q).
+
+    Grid (i, k, blk): j1 is slab i's WHOLE row range for this call
+    (constant across k and blk — Mosaic keeps it resident instead of
+    re-fetching per pair, which is where the packed grid spends 2/3 of its
+    HBM traffic); the kernel slices the current sample block out of it with
+    pl.ds. Each (i, k) computes tile (i, (i+k) mod n) — for wrapped pairs
+    that position is in the LOWER triangle; mirror_band reconstructs the
+    symmetric A from the scattered-but-unique pair map. The even-n
+    duplicate round (2k == n, i >= n/2) writes a zero tile so its position
+    stays defined without double-counting. The chunk/rows-part carry
+    streams in as a_ref (once per (i, k)) — chained calls replace the
+    separate add_packed_upper pass entirely."""
+    def kernel(a_ref, s1_ref, s2_ref, j1_ref, j2_ref, out_ref):
+        i, k, blk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        BS = j2_ref.shape[1]
+        j1w = j1_ref[0, pl.ds(blk * BS, BS), :]
+        t = jax.lax.dot_general(
+            j1w.T, j2_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
+        tf = t.astype(jnp.float32) * (s1_ref[0, 0] * s2_ref[0, 0])
+        dup = jnp.logical_and(n % 2 == 0,
+                              jnp.logical_and(2 * k == n, i >= n // 2))
+        tf = jnp.where(dup, jnp.zeros_like(tf), tf)
+
+        @pl.when(blk == 0)
+        def _():
+            out_ref[:] = tf + a_ref[:]
+
+        @pl.when(blk != 0)
+        def _():
+            out_ref[:] = out_ref[:] + tf
+    return kernel
+
+
+def _band_pos(k, i, n: int):
+    """Band pair-map position: (i, (i+k) mod n) — j1's tile is always the
+    ROW side (no in-kernel transpose), so wrapped pairs land in the lower
+    triangle. Each unordered pair appears exactly once (plus the defined
+    zero tiles of the even-n duplicate round)."""
+    return i, jax.lax.rem(i + k, n)
+
+
+def band_parts(nb: int, HB_max_blocks: int = None):
+    """Split nb quantization blocks into row parts of <= HB_max_blocks
+    blocks each (the resident j1 slab is part_blocks * qblock rows —
+    3 x 2048 x 512 int8 = 3.1 MB next to the streamed operand and the
+    out/acc tiles; TNF_PALLAS_BAND_HB shrinks it if Mosaic's VMEM
+    accounting rejects the compile). Every part must start on a multiple
+    of its own size (the (1, HR, tile) BlockSpec indexes in HR units), so
+    a ragged tail falls back to 1-block parts when misaligned."""
+    if HB_max_blocks is None:
+        HB_max_blocks = int(os.environ.get("TNF_PALLAS_BAND_HB", "3"))
+    parts = []
+    start = 0
+    while start < nb:
+        size = min(HB_max_blocks, nb - start)
+        while size > 1 and start % size:
+            size -= 1
+        parts.append((start, size))
+        start += size
+    return parts
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _gram_pair_band_q_jit(Q1, s1, Q2, s2, acc, interpret=False, tile=512):
+    """Chained resident-band calls over row parts; returns the UPDATED
+    band-layout carry (acc + this chunk, positions per _band_pos)."""
+    n, Bp = Q1.shape[0], Q1.shape[1]
+    nb = s1.shape[1]
+    BS = Bp // nb
+    Dp = n * tile
+    s1c = s1[..., None]
+    s2r = s2[:, :, None, :]
+    out = acc
+    for (b0, nblk) in band_parts(nb):
+        HR = nblk * BS
+        part = b0 // nblk  # aligned by band_parts' construction
+        out = pl.pallas_call(
+            _make_band_kernel_q(n),
+            out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+            grid=(n, _packed_nk(n), nblk),
+            in_specs=[
+                pl.BlockSpec((tile, tile),
+                             lambda i, k, b: _band_pos(k, i, n)),
+                pl.BlockSpec((1, 1, tile, 1),
+                             lambda i, k, b, b0=b0: (i, b0 + b, 0, 0)),
+                pl.BlockSpec((1, 1, 1, tile),
+                             lambda i, k, b, b0=b0:
+                             (jax.lax.rem(i + k, n), b0 + b, 0, 0)),
+                pl.BlockSpec((1, HR, tile),
+                             lambda i, k, b, part=part: (i, part, 0)),
+                pl.BlockSpec((1, BS, tile),
+                             lambda i, k, b, b0=b0:
+                             (jax.lax.rem(i + k, n), b0 + b, 0)),
+            ],
+            out_specs=pl.BlockSpec((tile, tile),
+                                   lambda i, k, b: _band_pos(k, i, n)),
+            interpret=interpret,
+        )(out, s1c, s2r, Q1, Q2)
+    return out
+
+
+def gram_pair_band_q(Q1, s1, Q2, s2, acc, interpret=False, tile=512):
+    """Band-scheduled int8 packed Gram with fused chunk accumulation.
+
+    Same contract as gram_pair_tiled_q(acc=...) except the RESULT LAYOUT:
+    pair tiles live at (i, (i+k) mod n) (_band_pos) instead of the upper
+    triangle — reconstruct with mirror_band(A, n, tile) once per update.
+    The resident j1 slab cuts the pair grid's operand traffic ~2x (the
+    packed grid re-fetches BOTH slabs for every pair; here j1 loads once
+    per row part) and the chained acc absorbs the add pass."""
+    if Q1.shape != Q2.shape or s1.shape != s2.shape:
+        raise ValueError(
+            f"int8 Gram operands must share one quantization layout: "
+            f"Q {Q1.shape} vs {Q2.shape}, scales {s1.shape} vs {s2.shape}")
+    CALLS["gram_pair_q"] += 1
+    return _gram_pair_band_q_jit(Q1, s1, Q2, s2, acc, interpret=interpret,
+                                 tile=tile)
+
+
+def band_positions(n: int) -> np.ndarray:
+    """Static bool (n, n) tile mask of positions the band map WRITES
+    (real pairs; excludes nothing — the even-n duplicate round's zero
+    tiles are included and harmless: they hold exact zeros)."""
+    W = np.zeros((n, n), bool)
+    for k in range(_packed_nk(n)):
+        for i in range(n):
+            W[i, (i + k) % n] = True
+    return W
+
+
+def mirror_band(A: jax.Array, n: int, tile: int) -> jax.Array:
+    """Reconstruct the full symmetric A from a band-layout raw buffer.
+
+    Each unordered pair {x, y} is stored exactly once at some written
+    position (x, y) or (y, x) (plus exact-zero tiles from the even-n
+    duplicate round and undefined tiles at never-written positions):
+        A_sym = W∘A + (W∘A)ᵀ − diag-tiles(A)
+    where W is the static written-position mask (band_positions) — the
+    diagonal (k=0) tiles are symmetric and counted twice by the first two
+    terms. The even-n duplicate rule writes the value at (i, i+n/2) for
+    i < n/2 and a ZERO tile at the transposed position, so the sum still
+    counts that pair exactly once."""
+    Dp = A.shape[0]
+    W = band_positions(n)
+    mask = jnp.asarray(np.repeat(np.repeat(W, tile, 0), tile, 1))
+    Am = jnp.where(mask, A, 0.0)
+    out = Am + Am.T
+    # subtract the double-counted diagonal tiles
+    dmask = jnp.asarray(np.repeat(np.repeat(np.eye(n, dtype=bool), tile, 0),
+                                  tile, 1))
+    return jnp.where(dmask, Am, out)
 
 
 def gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=False, tile=512,

@@ -791,3 +791,72 @@ def test_engine_int8_acc_route_matches(monkeypatch):
         np.testing.assert_allclose(np.asarray(p_add[k]),
                                    np.asarray(p_acc[k]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_gram_pair_band_q_matches_packed_chain(monkeypatch):
+    """Resident-band int8 chain (round 5): chained band calls over two
+    chunks reconstruct (via mirror_band) exactly what the packed kernel +
+    add_packed_upper + mirror_gram pipeline produces, across resident-part
+    splits (nb 3 = one part, 4 = ragged tail, 9 = three parts) and both
+    even/odd slab counts (even n exercises the duplicate-round zero
+    tiles). Symmetric operands (Q1 == Q2): the two routes assign wrapped
+    pairs to opposite triangles, so only the symmetric case is bit-exactly
+    comparable — production K = H·J is symmetric up to quantization
+    rounding, and the sweep-level regression test below covers that."""
+    from tensornetworksfork_tpu.ops.pallas.gram import (
+        add_packed_upper, band_parts, gram_pair_band_q, gram_pair_tiled_q,
+        mirror_band, mirror_gram, quantize_tiled)
+    rng = np.random.default_rng(3)
+    for n, nb in [(4, 3), (3, 4), (6, 9)]:
+        tile, BS = 128, 32
+        rows, Dp = nb * BS, n * tile
+        assert sum(p[1] for p in band_parts(nb)) == nb
+        accU = jnp.zeros((Dp, Dp), jnp.float32)
+        accB = jnp.zeros((Dp, Dp), jnp.float32)
+        for _ in range(2):
+            J = jnp.asarray(rng.standard_normal((n, rows, tile)),
+                            jnp.float32)
+            Q1, s1 = quantize_tiled(J, block=BS)
+            A = gram_pair_tiled_q(Q1, s1, Q1, s1, interpret=True, tile=tile)
+            accU = add_packed_upper(accU, A, tile=tile, interpret=True)
+            accB = gram_pair_band_q(Q1, s1, Q1, s1, accB, interpret=True,
+                                    tile=tile)
+        ref = mirror_gram(np.asarray(accU))
+        band = np.asarray(mirror_band(accB, n, tile))
+        np.testing.assert_allclose(band, ref, rtol=1e-5,
+                                   atol=1e-5 * np.abs(ref).max())
+
+
+def test_engine_band_route_matches(monkeypatch):
+    """TNF_PALLAS_BAND=1: the sweep's resident-band node update equals the
+    default packed route (interpret mode)."""
+    from tensornetworksfork_tpu.core.engine import Network
+    from tensornetworksfork_tpu.core.sweep import SweepConfig, Sweeper
+    from tensornetworksfork_tpu.models.layers import TensorTrainLayer
+    from tensornetworksfork_tpu.ops.bregman import SquareBregFunction
+
+    monkeypatch.setenv("TNF_GRAM_DTYPE", "int8")
+    monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
+    monkeypatch.setenv("TNF_FULLBATCH_MAX_BYTES", "0")
+    rng = np.random.default_rng(12)
+    X = jnp.asarray(rng.standard_normal((64, 4)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((64, 1)), jnp.float32)
+    cfg = SweepConfig(num_swipes=1, batch_size=16, method="ridge_cholesky",
+                      eps=1.0)
+
+    def run_once():
+        layer = TensorTrainLayer(2, 4, 4, output_shape=(1,), seed=3)
+        net = Network(layer.topology, use_pallas=True)
+        params, ok = Sweeper(net, SquareBregFunction(), cfg).run(
+            [dict(layer.params)], X, y)
+        assert ok
+        return params[0]
+
+    monkeypatch.setenv("TNF_PALLAS_BAND", "0")
+    p_ref = run_once()
+    monkeypatch.setenv("TNF_PALLAS_BAND", "1")
+    p_band = run_once()
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_ref[k]),
+                                   np.asarray(p_band[k]),
+                                   rtol=2e-4, atol=2e-4)
