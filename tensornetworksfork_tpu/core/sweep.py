@@ -93,7 +93,7 @@ def _numeric_env_key():
             os.environ.get("TNF_FULLBATCH_MAX_BYTES", ""),
             os.environ.get("TNF_INT8_MERGE", "0"),
             os.environ.get("TNF_PALLAS_ACC", "0"),
-            os.environ.get("TNF_PALLAS_BAND", "0"),
+            os.environ.get("TNF_PALLAS_BAND", "1"),
             os.environ.get("TNF_PALLAS_BAND_HB", "3"),
             os.environ.get("TNF_KMIX", "1"),
             os.environ.get("TNF_PALLAS_GROUP", "1"),

@@ -147,12 +147,22 @@ def _packed_enabled() -> bool:
 
 
 def band_enabled() -> bool:
-    """Resident-band int8 schedule (TNF_PALLAS_BAND): j1 slabs stay in VMEM
-    across the pair round, cutting the packed grid's operand re-reads ~2x,
-    and the chunk carry chains through the kernels (no separate add pass).
-    Requires the quantized route (int8 slabs are small enough to hold a
-    3-block resident window)."""
-    return os.environ.get("TNF_PALLAS_BAND", "0") == "1" and gram_quant()
+    """Resident-band int8 schedule (TNF_PALLAS_BAND, default ON): j1 slabs
+    stay in VMEM across the pair round (the packed grid re-fetches BOTH
+    slabs per pair) and the chunk carry chains through the kernels (no
+    separate add pass). int8-only: a 3-block resident window is 3.1 MB at
+    int8; the 2-byte bf16 slab would force 1-block parts whose per-part
+    carry chaining costs more than the add it replaces.
+
+    Measured (v5e 2026-08-20, RESULTS.md round-5 ladder): kernel-only
+    slope 18.0 ms INCLUDING the fused carry add vs 18.2 + 2.7 packed
+    kernel + add; flagship A2 update 53 -> 49 ms/chunk (bit-identical
+    checksum); flagship epoch 5.041 -> 4.736 s. Accuracy-gated: the
+    10-seed digits replication with the band route forced onto every
+    packed node is PER-SEED IDENTICAL to the packed int8 tier
+    (96.55 +/- 1.11, results/reproduce_digits.csv 2026-08-20 block).
+    TNF_PALLAS_BAND=0 reverts to the packed grid + add_packed_upper."""
+    return os.environ.get("TNF_PALLAS_BAND", "1") == "1" and gram_quant()
 
 
 def _group() -> int:

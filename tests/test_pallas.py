@@ -769,6 +769,9 @@ def test_engine_int8_acc_route_matches(monkeypatch):
     monkeypatch.setenv("TNF_GRAM_DTYPE", "int8")
     monkeypatch.setenv("TNF_PACKED_SYRK_MIN_D", "1")
     monkeypatch.setenv("TNF_FULLBATCH_MAX_BYTES", "0")  # keep chunking on
+    # pin the band schedule OFF: this test targets the ACC kernel, which
+    # the (default-on) band route would otherwise shadow
+    monkeypatch.setenv("TNF_PALLAS_BAND", "0")
     rng = np.random.default_rng(12)
     X = jnp.asarray(rng.standard_normal((64, 4)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((64, 1)), jnp.float32)
