@@ -29,6 +29,15 @@ import jax.numpy as jnp
 
 from tensornetworksfork_tpu.core.solve import solve_block
 
+# The f64 tier runs through jax.pure_callback, which the axon TPU backend
+# does not implement (UNIMPLEMENTED host send/recv) — the Sweeper raises
+# early there with guidance (core/sweep.py). The ladder itself is
+# platform-independent numerics, so the whole module runs on CPU only.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="f64 host-solve tier needs host callbacks (axon backend lacks "
+           "them; the Sweeper raises early there)")
+
 EPS_LADDER = [1e-3, 1e-6, 1e-9, 1e-12]
 
 
