@@ -411,6 +411,8 @@ def test_zoo_compare_gate_passes_on_committed_tables_and_catches_regression(
     base = "results/zoo_eval.csv"
     other = "results/zoo_eval_int8.csv"
     assert compare_tables(base, other) == []
+    # the round-5 re-run under the band-default int8 tier must also pass
+    assert compare_tables(base, "results/zoo_eval_int8_band.csv") == []
 
     # inject a -2 pp regression into every 'tt' family row of a copy
     broken = str(tmp_path / "zoo_int8_broken.csv")
