@@ -309,7 +309,12 @@ def main():
     elif variant.startswith("qbandonly"):
         # resident-band int8 chain (incl. the fused carry add) on
         # pre-quantized operands: compare against qkernelonly + ~2.7 ms
-        # add_packed_upper (the pair it replaces)
+        # add_packed_upper (the pair it replaces). NOTE: the band chain
+        # ALIASES the carry into its output (donation), and this probe
+        # re-passes the SAME A buffer every call — XLA inserts a defensive
+        # (Dp, Dp) copy per call (~3 ms) that the sweep's linearly-threaded
+        # scan carry never pays; update_bench.py A2 is the authoritative
+        # sweep-level number (48 ms/chunk vs 53 packed at the flagship).
         from tensornetworksfork_tpu.ops.pallas.gram import (
             gram_pair_band_q, plan_tiles, quantize_tiled, retile_rows)
         tile, block, n, Dp = plan_tiles(D, 1, acc=True)

@@ -1264,6 +1264,15 @@ def _gram_pair_band_q_jit(Q1, s1, Q2, s2, acc, interpret=False, tile=512):
     for (b0, nblk) in band_parts(nb):
         HR = nblk * BS
         part = b0 // nblk  # aligned by band_parts' construction
+        # the carry is ALIASED into the output: tiles outside the band map
+        # keep their prior content — zeros from the caller's A0 — so
+        # mirror_band needs no written-position mask, and the chain never
+        # copies the (Dp, Dp) buffer. Aliasing + this grid is safe: every
+        # out position is owned by exactly ONE (i, k) (the even-n
+        # duplicate round's second visit writes its OWN position, with tf
+        # zeroed — it reads only its own prior value, never a twin's
+        # in-flight write; contrast the packed grid, whose duplicate
+        # visits share a position and double-add under aliasing).
         out = pl.pallas_call(
             _make_band_kernel_q(n),
             out_shape=jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
@@ -1284,6 +1293,7 @@ def _gram_pair_band_q_jit(Q1, s1, Q2, s2, acc, interpret=False, tile=512):
             ],
             out_specs=pl.BlockSpec((tile, tile),
                                    lambda i, k, b: _band_pos(k, i, n)),
+            input_output_aliases={0: 0},
             interpret=interpret,
         )(out, s1c, s2r, Q1, Q2)
     return out
@@ -1307,38 +1317,22 @@ def gram_pair_band_q(Q1, s1, Q2, s2, acc, interpret=False, tile=512):
                                  tile=tile)
 
 
-def band_positions(n: int) -> np.ndarray:
-    """Static bool (n, n) tile mask of positions the band map WRITES
-    (real pairs; excludes nothing — the even-n duplicate round's zero
-    tiles are included and harmless: they hold exact zeros)."""
-    W = np.zeros((n, n), bool)
-    for k in range(_packed_nk(n)):
-        for i in range(n):
-            W[i, (i + k) % n] = True
-    return W
-
-
 def mirror_band(A: jax.Array, n: int, tile: int) -> jax.Array:
     """Reconstruct the full symmetric A from a band-layout raw buffer.
 
-    Each unordered pair {x, y} is stored exactly once at some written
-    position (x, y) or (y, x) (plus exact-zero tiles from the even-n
-    duplicate round and undefined tiles at never-written positions):
-        A_sym = W∘A + (W∘A)ᵀ − diag-tiles(A)
-    where W is the static written-position mask (band_positions) — the
-    diagonal (k=0) tiles are symmetric and counted twice by the first two
-    terms. The even-n duplicate rule writes the value at (i, i+n/2) for
-    i < n/2 and a ZERO tile at the transposed position, so the sum still
-    counts that pair exactly once."""
+    Each unordered pair {x, y} is stored exactly once at some position
+    (x, y) or (y, x); every OTHER position holds an exact zero — the
+    chained band calls alias the carry into the output, so tiles the grid
+    never visits keep the caller's A0 zeros, and the even-n duplicate
+    round writes explicit zero tiles. Hence
+        A_sym = A + Aᵀ  everywhere except the diagonal tiles
+    (k=0 tiles are the pair's single copy and would double), where A_sym
+    = A. The diagonal-tile predicate is computed from iotas — no (Dp, Dp)
+    mask constants."""
     Dp = A.shape[0]
-    W = band_positions(n)
-    mask = jnp.asarray(np.repeat(np.repeat(W, tile, 0), tile, 1))
-    Am = jnp.where(mask, A, 0.0)
-    out = Am + Am.T
-    # subtract the double-counted diagonal tiles
-    dmask = jnp.asarray(np.repeat(np.repeat(np.eye(n, dtype=bool), tile, 0),
-                                  tile, 1))
-    return jnp.where(dmask, Am, out)
+    rt = jax.lax.broadcasted_iota(jnp.int32, (Dp, Dp), 0) // tile
+    ct = jax.lax.broadcasted_iota(jnp.int32, (Dp, Dp), 1) // tile
+    return jnp.where(rt == ct, A, A + A.T)
 
 
 def gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=False, tile=512,
