@@ -830,7 +830,14 @@ class Network:
                                                    gram_pair_band_q)
                     if band_enabled():
                         # resident-band chain: carry rides the kernels,
-                        # result in band layout (packed_gram_finisher)
+                        # result in band layout (packed_gram_finisher).
+                        # The carry comes from packed_gram_acc_init, which
+                        # plans at the stored (bf16) itemsize while this
+                        # route plans at int8 — tile (hence Dp) agrees at
+                        # every budget in _clamp_packed today; assert so a
+                        # future clamp divergence fails loudly at trace
+                        # time instead of mis-tiling the carry.
+                        assert acc_s.shape == (Dp, Dp), (acc_s.shape, Dp)
                         return gram_pair_band_q(Q1, s1, Q2, s2, acc_s,
                                                 interpret=interp, tile=tile)
                 return gram_pair_tiled_q(Q1, s1, Q2, s2, interpret=interp,
