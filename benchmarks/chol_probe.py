@@ -74,19 +74,42 @@ def blocked_cholesky(A, block: int, precision):
     return jnp.tril(out)
 
 
+def trsv_pair(L, rhs):
+    """The current solve tail: two single-rhs triangular solves."""
+    y = jax.lax.linalg.triangular_solve(L, rhs[:, None], left_side=True,
+                                        lower=True)
+    x = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                        transpose_a=True)
+    return x[:, 0]
+
+
 def main():
     D = int(sys.argv[1]) if len(sys.argv) > 1 else 16200
-    block = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    Dp = ((D + block - 1) // block) * block
+    blocks = ([int(b) for b in sys.argv[2].split(",")] if len(sys.argv) > 2
+              else [512])
+    precs = (sys.argv[3].split(",") if len(sys.argv) > 3
+             else ["highest", "default"])
+    Dp = ((D + blocks[0] - 1) // blocks[0]) * blocks[0]
     rng = np.random.default_rng(0)
     M = rng.standard_normal((Dp, 256)).astype(np.float32)
     A = jnp.asarray(M @ M.T + Dp * np.eye(Dp, dtype=np.float32))
 
     flops = Dp ** 3 / 3
 
-    t = slope_time(jax.jit(partial(jax.lax.linalg.cholesky,
-                                   symmetrize_input=False)), A)
+    chol = jax.jit(partial(jax.lax.linalg.cholesky, symmetrize_input=False))
+    t = slope_time(chol, A)
     print(f"lax cholesky D={Dp}: {t*1e3:.1f} ms ({flops/t/1e12:.1f} TFLOP/s)")
+    L = chol(A)
+    rhs = jnp.asarray(rng.standard_normal(Dp).astype(np.float32))
+    t = slope_time(jax.jit(trsv_pair), L, rhs)
+    print(f"trsv pair (single rhs) D={Dp}: {t*1e3:.1f} ms", flush=True)
+    if "--sub" in sys.argv:
+        from tensornetworksfork_tpu.core.solve import blocked_cho_substitute
+        for sb in blocks:
+            t = slope_time(jax.jit(partial(blocked_cho_substitute,
+                                           block=sb)), L, rhs)
+            print(f"blocked substitution({sb}) D={Dp}: {t*1e3:.1f} ms",
+                  flush=True)
 
     # error model at a cheap D (the f64 reference cholesky on this 1-core
     # host is unaffordable at 16k), speed at the real D
@@ -94,15 +117,20 @@ def main():
     Ms = rng.standard_normal((Ds, 256)).astype(np.float32)
     As = jnp.asarray(Ms @ Ms.T + Ds * np.eye(Ds, dtype=np.float32))
     ref = np.linalg.cholesky(np.asarray(As, np.float64))
-    for prec in ("highest", "default"):
-        p = jax.lax.Precision("highest" if prec == "highest" else "default")
-        Ls = jax.jit(partial(blocked_cholesky, block=block, precision=p))(As)
-        err = float(jnp.max(jnp.abs(Ls - ref)) / np.max(np.abs(ref)))
-        fn = jax.jit(partial(blocked_cholesky, block=block, precision=p))
-        t = slope_time(fn, A)
-        print(f"blocked({block}) prec={prec}: {t*1e3:.1f} ms "
-              f"({flops/t/1e12:.1f} TFLOP/s) rel_err@{Ds}={err:.2e}",
-              flush=True)
+    for block in blocks:
+        if Dp % block:
+            continue
+        for prec in precs:
+            p = jax.lax.Precision(prec)
+            Ls = jax.jit(partial(blocked_cholesky, block=block,
+                                 precision=p))(As) if Ds % block == 0 else None
+            err = (float(jnp.max(jnp.abs(Ls - ref)) / np.max(np.abs(ref)))
+                   if Ls is not None else float("nan"))
+            fn = jax.jit(partial(blocked_cholesky, block=block, precision=p))
+            t = slope_time(fn, A)
+            print(f"blocked({block}) prec={prec}: {t*1e3:.1f} ms "
+                  f"({flops/t/1e12:.1f} TFLOP/s) rel_err@{Ds}={err:.2e}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ for flagship-scale nodes.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -75,6 +76,149 @@ def _host_solve_f64(A_f: np.ndarray, b_f: np.ndarray, node_f: np.ndarray,
     except Exception:
         x = np.full_like(b, np.nan)
     return x.astype(out_dtype)
+
+
+def _chol_blocked_min() -> int:
+    """D threshold above which the cholesky methods take the blocked
+    factor path (TNF_CHOL_BLOCKED_MIN, default 4096; TNF_CHOL_BLOCKED=0
+    disables). Below it the XLA expander's fixed costs dominate and
+    blocking buys nothing; above it the factor is GEMM-bound and precision
+    control pays (benchmarks/chol_probe.py, v5e @ D=16,384: XLA expander
+    60.8 ms, blocked(1024) DEFAULT-precision 36.5 ms)."""
+    if os.environ.get("TNF_CHOL_BLOCKED", "1") == "0":
+        return 1 << 62
+    return int(os.environ.get("TNF_CHOL_BLOCKED_MIN", "4096"))
+
+
+def _chol_factor_precision():
+    """Trailing-GEMM precision for the blocked factorization.
+
+    TNF_CHOL_PRECISION=highest|high|default. Default policy: DEFAULT under
+    the int8 Gram tier (the Gram itself carries ~1e-3-relative quantization
+    error, so a ~1e-5-relative factor — measured vs an f64 oracle,
+    benchmarks/chol_probe.py — is numerically free and runs 1.7x faster
+    than the XLA expander at D=16,384: 36.5 vs 60.8 ms), HIGHEST otherwise,
+    which keeps the XLA expander (the hand-blocked HIGHEST factor is
+    SLOWER — 106 vs 61 ms — so blocking only pays when precision drops;
+    HIGH measured 64.1 ms, also no win)."""
+    name = os.environ.get("TNF_CHOL_PRECISION")
+    if name is None:
+        from ..ops.pallas.gram import gram_quant
+        name = "default" if gram_quant() else "highest"
+    return jax.lax.Precision(name.lower())
+
+
+def blocked_cholesky(A: jax.Array, block: int, precision) -> jax.Array:
+    """Right-looking blocked Cholesky (lower), statically unrolled.
+
+    A: (D, D) SPD with D % block == 0. Diagonal-block factorizations use
+    the XLA expander at `block` size (cheap); the panel TRSMs and trailing
+    SYRK — the FLOPs bulk — are dot_generals at `precision`, on exact
+    shrinking slices (static shapes, D/block unrolled iterations). Returns
+    L with an exactly-zero upper triangle (the substitution kernels below
+    rely on it)."""
+    D = A.shape[0]
+    n = D // block
+    cols = []  # finished (D - k*block, block) panels, top-aligned
+    T = A
+    for k in range(n):
+        Lkk = jax.lax.linalg.cholesky(T[:block, :block],
+                                      symmetrize_input=False)
+        below = T[block:, :block]
+        if below.shape[0]:
+            Lb = jax.lax.linalg.triangular_solve(
+                Lkk, below, left_side=False, lower=True, transpose_a=True)
+            cols.append(jnp.concatenate([jnp.tril(Lkk), Lb], axis=0))
+            T = T[block:, block:] - jax.lax.dot_general(
+                Lb, Lb, (((1,), (1,)), ((), ())), precision=precision)
+        else:
+            cols.append(jnp.tril(Lkk))
+    out = jnp.zeros_like(A)
+    for k, panel in enumerate(cols):
+        out = jax.lax.dynamic_update_slice(out, panel,
+                                           (k * block, k * block))
+    return out
+
+
+def _diag_block_inverses(L: jax.Array, block: int) -> jax.Array:
+    """(n, block, block) inverses of L's diagonal blocks, one batched TRSM
+    (the batch axis parallelizes what the single-rhs expander serializes)."""
+    D = L.shape[0]
+    n = D // block
+    idx = jnp.arange(n)
+    blocks = L.reshape(n, block, n, block)[idx, :, idx, :]
+    eye = jnp.broadcast_to(jnp.eye(block, dtype=L.dtype), (n, block, block))
+    return jax.lax.linalg.triangular_solve(blocks, eye, left_side=True,
+                                           lower=True)
+
+
+def blocked_cho_substitute(L: jax.Array, rhs: jax.Array,
+                           block: int) -> jax.Array:
+    """Solve L Lᵀ x = rhs via block substitution with explicit diagonal-block
+    inverses.
+
+    Replaces the two single-rhs `lax.linalg.triangular_solve` calls (~45 ms
+    at D=16,200 on a v5e: the XLA expander substitutes in 128-row blocks,
+    each a latency-bound small step) with D/block masked full-width matvec
+    steps — zero-initialized x/y make explicit masking unnecessary: any
+    entry of L on or above the diagonal only ever multiplies a
+    not-yet-computed (still zero) x/y entry in both passes, so even an
+    unspecified upper triangle is never observed. Matvecs run at HIGHEST
+    precision — substitution error feeds the solution directly, and the
+    steps are DMA-bound anyway."""
+    D = L.shape[0]
+    n = D // block
+    Dinv = _diag_block_inverses(L, block)
+    hi = jax.lax.Precision.HIGHEST
+
+    def fwd(k, y):
+        row = jax.lax.dynamic_slice(L, (k * block, 0), (block, D))
+        bk = jax.lax.dynamic_slice(rhs, (k * block,), (block,))
+        r = bk - jnp.matmul(row, y, precision=hi)
+        yk = jnp.matmul(jax.lax.dynamic_slice(
+            Dinv, (k, 0, 0), (1, block, block))[0], r, precision=hi)
+        return jax.lax.dynamic_update_slice(y, yk, (k * block,))
+
+    y = jax.lax.fori_loop(0, n, fwd, jnp.zeros_like(rhs))
+
+    def bwd(i, x):
+        k = n - 1 - i
+        col = jax.lax.dynamic_slice(L, (0, k * block), (D, block))
+        yk = jax.lax.dynamic_slice(y, (k * block,), (block,))
+        r = yk - jnp.matmul(x, col, precision=hi)
+        xk = jnp.matmul(r, jax.lax.dynamic_slice(
+            Dinv, (k, 0, 0), (1, block, block))[0], precision=hi)
+        return jax.lax.dynamic_update_slice(x, xk, (k * block,))
+
+    return jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(rhs))
+
+
+def _blocked_cho_solve(M: jax.Array, rhs: jax.Array, prec) -> jax.Array:
+    """Big-D cholesky solve: pad to a block multiple (identity diagonal on
+    the pad keeps the factor well-defined; padded rhs entries stay zero),
+    factor with precision-`prec` trailing GEMMs, back-substitute.
+
+    The substitution stays on the XLA triangular-solve pair — at D=16,200
+    it costs only 5.9 ms on a v5e (benchmarks/chol_probe.py) and is
+    bit-identical to the default path's tail; `blocked_cho_substitute`
+    (TNF_CHOL_SUB=1) exists for probing alternatives."""
+    D = M.shape[0]
+    block = int(os.environ.get("TNF_CHOL_BLOCK", "1024"))
+    Dp = ((D + block - 1) // block) * block
+    if Dp != D:
+        pad = Dp - D
+        M = jnp.pad(M, ((0, pad), (0, pad)))
+        M = M + jnp.diag(jnp.concatenate(
+            [jnp.zeros(D, M.dtype), jnp.ones(pad, M.dtype)]))
+        rhs = jnp.pad(rhs, (0, pad))
+    L = blocked_cholesky(M, block, prec)
+    if os.environ.get("TNF_CHOL_SUB", "0") == "1":
+        return blocked_cho_substitute(L, rhs, block)[:D]
+    y = jax.lax.linalg.triangular_solve(L, rhs[:, None], left_side=True,
+                                        lower=True)
+    x = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                        transpose_a=True)
+    return x[:D, 0]
 
 
 def solve_block(A: jax.Array, b: jax.Array, node_value: jax.Array,
@@ -134,6 +278,10 @@ def solve_block(A: jax.Array, b: jax.Array, node_value: jax.Array,
             if jnp.iscomplexobj(M):
                 c, low = cho_factor(M)
                 return cho_solve((c, low), rhs)
+            if M.shape[0] >= _chol_blocked_min():
+                prec = _chol_factor_precision()
+                if prec != jax.lax.Precision.HIGHEST:
+                    return _blocked_cho_solve(M, rhs, prec)
             # cho_factor symmetrizes its input — (M + Mᵀ)/2 is a full-matrix
             # transpose that costs ~15 ms at D=16200 (slope-timed). Our Grams
             # are symmetric by construction (Gauss-Newton JᵀHJ, mirrored
